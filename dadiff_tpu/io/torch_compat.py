@@ -1,0 +1,312 @@
+"""Bidirectional torch ``.pt`` checkpoint compatibility.
+
+The reference trains/evaluates from torch checkpoints with schema
+``{epoch, global_step, model_state_dict, optimizer_state_dict, config{...},
+ema_state_dict?, scheduler_state_dict?}`` (reference
+m_diffuser/utils/training.py:191-224) and *infers architecture from weight
+shapes* rather than trusting configs (reference scripts/train.py:116-171,
+scripts/evaluate.py:64-122). This module preserves that contract so a user
+of the reference can bring their checkpoints here (and export ours back).
+
+torch is only needed for .pt file IO; everything else is numpy. The key
+mapping covers the reference TemporalUnet module tree
+(temporal_unet.py:125-197) -> dadiff_tpu Flax param tree.
+
+Weight layout conversions (validated bit-exact in tests/test_torch_parity.py):
+  Conv1d          torch (out,in,k)  -> flax (k,in,out)   transpose(2,1,0)
+  ConvTranspose1d torch (in,out,k)  -> ours (k,out,in)   transpose(2,1,0)
+  Linear          torch (out,in)    -> flax (in,out)     transpose
+  GroupNorm       weight/bias       -> scale/bias        identity
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Key mapping
+# ---------------------------------------------------------------------------
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+def _dense(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w))
+
+
+def _res_block_mapping(torch_prefix: str, flax_name: str) -> List[Tuple[str, Tuple[str, ...], str]]:
+    """(torch_key_prefix, flax_path, kind) entries for one ResidualTemporalBlock.
+
+    Reference module tree (temporal_unet.py:79-104):
+      blocks.0.block.{0:Conv1d,1:GroupNorm}, blocks.1.block.{0,1},
+      time_mlp.{0:Mish,1:Linear}, residual_conv (Conv1d or Identity).
+    """
+    return [
+        (f"{torch_prefix}.blocks.0.block.0", (flax_name, "block1", "conv"), "conv"),
+        (f"{torch_prefix}.blocks.0.block.1", (flax_name, "block1", "norm"), "norm"),
+        (f"{torch_prefix}.blocks.1.block.0", (flax_name, "block2", "conv"), "conv"),
+        (f"{torch_prefix}.blocks.1.block.1", (flax_name, "block2", "norm"), "norm"),
+        (f"{torch_prefix}.time_mlp.1", (flax_name, "time_dense"), "dense"),
+        (f"{torch_prefix}.residual_conv", (flax_name, "residual_conv"), "conv"),
+    ]
+
+
+def unet_key_mapping(n_levels: int) -> List[Tuple[str, Tuple[str, ...], str]]:
+    """Full (torch prefix, flax path, kind) table for a TemporalUnet.
+
+    torch prefixes are relative to the TemporalUnet module (i.e. without the
+    diffusion wrapper's leading ``model.``).
+    """
+    table: List[Tuple[str, Tuple[str, ...], str]] = [
+        ("time_mlp.1", ("time_dense1",), "dense"),
+        ("time_mlp.3", ("time_dense2",), "dense"),
+        ("final_conv.0.block.0", ("final_block", "conv"), "conv"),
+        ("final_conv.0.block.1", ("final_block", "norm"), "norm"),
+        ("final_conv.1", ("final_conv",), "conv"),
+    ]
+    for i in range(n_levels):
+        table += _res_block_mapping(f"downs.{i}.0", f"down_{i}_res1")
+        table += _res_block_mapping(f"downs.{i}.1", f"down_{i}_res2")
+        if i < n_levels - 1:
+            table.append((f"downs.{i}.2.conv", (f"down_{i}_downsample",), "conv"))
+    table += _res_block_mapping("mid_block1", "mid_block1")
+    table += _res_block_mapping("mid_block2", "mid_block2")
+    for i in range(n_levels - 1):
+        table += _res_block_mapping(f"ups.{i}.0", f"up_{i}_res1")
+        table += _res_block_mapping(f"ups.{i}.1", f"up_{i}_res2")
+        table.append((f"ups.{i}.2.conv", (f"up_{i}_upsample",), "convtranspose"))
+    return table
+
+
+def _ensure(tree: Dict, path: Tuple[str, ...]) -> Dict:
+    node = tree
+    for p in path:
+        node = node.setdefault(p, {})
+    return node
+
+
+def _get_path(tree: Dict, path: Tuple[str, ...]) -> Optional[Dict]:
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def torch_unet_state_to_flax(
+    state: Dict[str, np.ndarray], n_levels: int
+) -> Dict[str, Any]:
+    """Convert a torch TemporalUnet state_dict (numpy values, keys relative to
+    the unet) into a dadiff_tpu Flax params dict."""
+    params: Dict[str, Any] = {}
+    for torch_prefix, flax_path, kind in unet_key_mapping(n_levels):
+        wkey, bkey = f"{torch_prefix}.weight", f"{torch_prefix}.bias"
+        if wkey not in state:
+            continue  # optional residual_conv (Identity in torch)
+        w = np.asarray(state[wkey], dtype=np.float32)
+        b = np.asarray(state[bkey], dtype=np.float32)
+        parent = _ensure(params, flax_path[:-1])
+        if kind in ("conv", "convtranspose"):
+            parent[flax_path[-1]] = {"kernel": _conv(w), "bias": b}
+        elif kind == "dense":
+            parent[flax_path[-1]] = {"kernel": _dense(w), "bias": b}
+        elif kind == "norm":
+            parent[flax_path[-1]] = {"scale": w, "bias": b}
+    return params
+
+
+def flax_unet_params_to_torch_state(
+    params: Dict[str, Any], n_levels: int
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`torch_unet_state_to_flax` (keys relative to the unet)."""
+    state: Dict[str, np.ndarray] = {}
+    for torch_prefix, flax_path, kind in unet_key_mapping(n_levels):
+        node = _get_path(params, flax_path)
+        if node is None:
+            continue
+        if kind in ("conv", "convtranspose"):
+            state[f"{torch_prefix}.weight"] = _conv(np.asarray(node["kernel"]))
+            state[f"{torch_prefix}.bias"] = np.asarray(node["bias"])
+        elif kind == "dense":
+            state[f"{torch_prefix}.weight"] = _dense(np.asarray(node["kernel"]))
+            state[f"{torch_prefix}.bias"] = np.asarray(node["bias"])
+        elif kind == "norm":
+            state[f"{torch_prefix}.weight"] = np.asarray(node["scale"])
+            state[f"{torch_prefix}.bias"] = np.asarray(node["bias"])
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Full diffusion-checkpoint (.pt) schema
+# ---------------------------------------------------------------------------
+
+_SCHEDULE_BUFFERS = [
+    "betas",
+    "alphas",
+    "alphas_cumprod",
+    "alphas_cumprod_prev",
+    "sqrt_alphas_cumprod",
+    "sqrt_one_minus_alphas_cumprod",
+    "sqrt_recip_alphas_cumprod",
+    "sqrt_recipm1_alphas_cumprod",
+    "posterior_variance",
+    "posterior_log_variance_clipped",
+    "posterior_mean_coef1",
+    "posterior_mean_coef2",
+]
+
+
+def diffusion_state_to_flax(
+    model_state: Dict[str, np.ndarray], n_levels: Optional[int] = None
+) -> Dict[str, Any]:
+    """Convert a reference GaussianDiffusion state_dict (unet params under
+    ``model.`` + schedule buffers at top level) to Flax unet params."""
+    unet_state = {
+        k[len("model."):]: v for k, v in model_state.items() if k.startswith("model.")
+    }
+    if n_levels is None:
+        n_levels = infer_n_levels(model_state)
+    return torch_unet_state_to_flax(unet_state, n_levels)
+
+
+def flax_to_diffusion_state(
+    params: Dict[str, Any], schedule, n_levels: int
+) -> Dict[str, np.ndarray]:
+    """Export Flax params + DiffusionSchedule as a reference-layout state_dict."""
+    state = {
+        f"model.{k}": v
+        for k, v in flax_unet_params_to_torch_state(params, n_levels).items()
+    }
+    for name in _SCHEDULE_BUFFERS:
+        state[name] = np.asarray(getattr(schedule, name), dtype=np.float32)
+    return state
+
+
+def infer_n_levels(model_state: Dict[str, np.ndarray]) -> int:
+    """Count encoder levels from ``model.downs.{i}`` keys
+    (reference shape-sniffing, train.py:129-138)."""
+    max_idx = -1
+    for key in model_state:
+        if key.startswith("model.downs."):
+            parts = key.split(".")
+            if parts[2].isdigit():
+                max_idx = max(max_idx, int(parts[2]))
+    return max_idx + 1
+
+
+def infer_model_config_from_checkpoint(checkpoint: Dict[str, Any]) -> Dict[str, Any]:
+    """Architecture inference from weight shapes — faithful port of the
+    reference's checkpoint-config sniffing (train.py:116-171 /
+    evaluate.py:64-122): betas length -> n_timesteps; downs count ->
+    dim_mults; first conv out-channels -> dim; horizon/beta_schedule from the
+    saved config dict."""
+    state = checkpoint["model_state_dict"]
+
+    n_timesteps = (
+        int(np.asarray(state["betas"]).shape[0])
+        if "betas" in state
+        else int(checkpoint.get("config", {}).get("n_timesteps", 200))
+    )
+
+    num_levels = infer_n_levels(state)
+    if num_levels == 3:
+        dim_mults = (1, 2, 4)
+    elif num_levels == 4:
+        dim_mults = (1, 2, 4, 8)
+    elif num_levels == 2:
+        dim_mults = (1, 2)
+    elif num_levels <= 0:
+        dim_mults = (1, 2, 4, 8)
+    else:
+        dim_mults = tuple(2 ** i for i in range(num_levels))
+
+    dim = 128
+    key = "model.downs.0.0.blocks.0.block.0.weight"
+    if key in state:
+        dim = int(np.asarray(state[key]).shape[0])
+
+    # transition dim from the final 1x1 conv (shape (transition_dim, dim, 1))
+    transition_dim = None
+    fkey = "model.final_conv.1.weight"
+    if fkey in state:
+        transition_dim = int(np.asarray(state[fkey]).shape[0])
+
+    saved = checkpoint.get("config", {})
+    return {
+        "dim": dim,
+        "dim_mults": list(dim_mults),
+        "n_timesteps": n_timesteps,
+        "beta_schedule": saved.get("beta_schedule", "cosine"),
+        "horizon": saved.get("horizon", 16),
+        "transition_dim": transition_dim,
+        "observation_dim": saved.get("observation_dim"),
+        "action_dim": saved.get("action_dim"),
+    }
+
+
+def save_pt_checkpoint(
+    path: str,
+    params: Dict[str, Any],
+    schedule,
+    config: Dict[str, Any],
+    *,
+    ema_params: Optional[Dict[str, Any]] = None,
+    epoch: int = 0,
+    global_step: int = 0,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write a reference-schema .pt checkpoint (training.py:191-224 layout)."""
+    import torch
+
+    n_levels = len(config["dim_mults"])
+
+    def to_t(state):
+        return {k: torch.from_numpy(np.array(v, copy=True)) for k, v in state.items()}
+
+    checkpoint: Dict[str, Any] = {
+        "epoch": epoch,
+        "global_step": global_step,
+        "model_state_dict": to_t(flax_to_diffusion_state(
+            _to_numpy_tree(params), schedule, n_levels)),
+        "optimizer_state_dict": {},
+        "config": {
+            "horizon": config["horizon"],
+            "observation_dim": config["observation_dim"],
+            "action_dim": config["action_dim"],
+            "n_timesteps": config["n_timesteps"],
+            "beta_schedule": config["beta_schedule"],
+        },
+    }
+    if ema_params is not None:
+        checkpoint["ema_state_dict"] = to_t(
+            flax_to_diffusion_state(_to_numpy_tree(ema_params), schedule, n_levels)
+        )
+    if extra:
+        checkpoint.update(extra)
+    torch.save(checkpoint, path)
+
+
+def load_pt_checkpoint(path: str) -> Dict[str, Any]:
+    """Read a .pt checkpoint into numpy-valued dicts (no CUDA/device deps)."""
+    import torch
+
+    checkpoint = torch.load(path, map_location="cpu", weights_only=False)
+    out = dict(checkpoint)
+    for key in ("model_state_dict", "ema_state_dict"):
+        if key in out and out[key]:
+            out[key] = {
+                k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+                for k, v in out[key].items()
+            }
+    return out
+
+
+def _to_numpy_tree(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)

@@ -132,6 +132,7 @@ def p_sample_loop(
     clip_denoised: bool = True,
     predict_epsilon: bool = True,
     init_noise: Optional[jax.Array] = None,
+    step_noise: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full reverse diffusion as one ``lax.scan``
     (reference diffusion.py:225-251, host-loop version).
@@ -141,27 +142,29 @@ def p_sample_loop(
         shape: (batch, horizon, transition_dim).
         timesteps: descending int32 vector; defaults to the full chain.
         init_noise: optional fixed x_T (for parity tests).
+        step_noise: optional (n_steps, *shape) per-step noise (parity tests).
     """
     batch_size = shape[0]
     ts = default_timesteps(schedule.n_timesteps) if timesteps is None else timesteps
 
     rng, init_key = jax.random.split(rng)
     x = jax.random.normal(init_key, shape) if init_noise is None else init_noise
-    step_keys = jax.random.split(rng, ts.shape[0])
+    if step_noise is None:
+        step_keys = jax.random.split(rng, ts.shape[0])
+        step_noise = jax.vmap(lambda k: jax.random.normal(k, shape))(step_keys)
 
     def body(x, inputs):
-        t, key = inputs
+        t, noise = inputs
         t_batch = jnp.full((batch_size,), t, dtype=jnp.int32)
         model_out = apply_fn(params, x, t_batch)
         mean, log_var = p_mean_variance(
             model_out, schedule, x, t_batch,
             clip_denoised=clip_denoised, predict_epsilon=predict_epsilon,
         )
-        noise = jax.random.normal(key, x.shape)
         x = p_sample(mean, log_var, t_batch, noise)
         return x, None
 
-    x, _ = lax.scan(body, x, (ts, step_keys))
+    x, _ = lax.scan(body, x, (ts, step_noise))
     return x
 
 
@@ -270,6 +273,7 @@ class GaussianDiffusion:
         *,
         sampling_timesteps: Optional[int] = None,
         init_noise: Optional[jax.Array] = None,
+        step_noise: Optional[jax.Array] = None,
     ) -> jax.Array:
         ts = default_timesteps(self.n_timesteps, sampling_timesteps)
         return p_sample_loop(
@@ -278,6 +282,7 @@ class GaussianDiffusion:
             clip_denoised=self.clip_denoised,
             predict_epsilon=self.predict_epsilon,
             init_noise=init_noise,
+            step_noise=step_noise,
         )
 
     def loss(
