@@ -1,0 +1,233 @@
+"""Env-facing planning policies (reference: m_diffuser/guides/policies.py).
+
+Each policy wraps the jitted sampling engine (guides/sampling.py) behind the
+reference's stateful ``get_action(obs) -> np.ndarray`` API with action
+buffering / MPC replanning. All heavy compute is one compiled plan call per
+replan; the host only flattens observations and pops the buffer.
+
+Differences from the reference (deliberate):
+  * parameters are explicit (``params`` argument) — JAX-idiomatic,
+  * ``DynamicsAwarePolicy`` actually projects during sampling (the reference
+    defines but never invokes ``apply_projection``; SURVEY.md §2.3 #3) —
+    pass ``parity_mode=True`` to reproduce the reference's as-implemented
+    no-projection sampling,
+  * safe sampling-step truncation instead of the unsafe ``n_timesteps``
+    overwrite (evaluate.py:352).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dadiff_tpu.datasets.sources import flatten_observation
+from dadiff_tpu.guides.sampling import (
+    ProjectionSpec,
+    conditions_for_initial_obs,
+    make_sampler,
+)
+from dadiff_tpu.models.diffusion import GaussianDiffusion
+from dadiff_tpu.ops.projection import NormStats
+
+
+class GuidedPolicy:
+    """Base guided-sampling policy with conditioning and action buffering
+    (reference policies.py:13-223)."""
+
+    def __init__(
+        self,
+        diffusion: GaussianDiffusion,
+        normalizer,
+        params=None,
+        guide_fn: Optional[Callable] = None,
+        guide_weight: float = 1.0,
+        action_horizon: Optional[int] = None,
+        sampling_timesteps: Optional[int] = None,
+        seed: int = 0,
+        projection: Optional[ProjectionSpec] = None,
+    ):
+        self.diffusion = diffusion
+        self.normalizer = normalizer
+        self.params = params
+        self.guide_fn = guide_fn
+        self.guide_weight = guide_weight
+
+        self.horizon = diffusion.horizon
+        self.observation_dim = diffusion.observation_dim
+        self.action_dim = diffusion.action_dim
+        self.transition_dim = diffusion.transition_dim
+
+        # Action buffering / rolling-horizon MPC (reference :44-46)
+        self.action_horizon = action_horizon if action_horizon is not None else 1
+        self.action_buffer: List[np.ndarray] = []
+
+        self._rng = jax.random.PRNGKey(seed)
+        self._plan = make_sampler(
+            diffusion,
+            guide_fn=guide_fn,
+            guide_weight=guide_weight,
+            projection=projection,
+            sampling_timesteps=sampling_timesteps,
+        )
+        # Subclasses may set these (device copies used by the sampler)
+        self._P = None
+        self._stats = None
+
+    # -- observation handling (reference policies.py:151-179) ----------------
+    def _process_observation(self, observation) -> np.ndarray:
+        if isinstance(observation, dict):
+            if "observation" in observation and "desired_goal" in observation:
+                state = np.ravel(observation["observation"])
+                goal = np.ravel(observation["desired_goal"])
+                expected = self.normalizer.obs_mean.shape[0]
+                if expected == len(state) + len(goal):
+                    observation = np.concatenate([state, goal])
+                else:
+                    observation = state
+            else:
+                observation = flatten_observation(observation)
+        observation = np.asarray(observation, dtype=np.float32)
+        return observation.reshape(1, -1)
+
+    # -- planning -------------------------------------------------------------
+    def plan(self, observation) -> np.ndarray:
+        """Run one full guided reverse-diffusion plan from the current
+        observation. Returns the normalized trajectory (1, H, D)."""
+        obs = self._process_observation(observation)
+        normed_obs = self.normalizer.normalize_observations(obs)
+        conditions = conditions_for_initial_obs(
+            jnp.asarray(normed_obs), self.observation_dim, self.horizon,
+            self.transition_dim,
+        )
+        self._rng, key = jax.random.split(self._rng)
+        traj = self._plan(self.params, key, conditions, self._P, self._stats)
+        return np.asarray(traj)
+
+    def _fill_action_buffer(self, trajectory: np.ndarray) -> None:
+        """Extract and buffer actions (reference policies.py:181-191).
+
+        NOTE (parity quirk preserved): the reference buffers from t=0 — the
+        row whose action was zeroed by conditioning — so the first action of
+        every replan unnormalizes to the dataset-mean action.
+        """
+        traj = trajectory[0]
+        a0, a1 = self.observation_dim, self.observation_dim + self.action_dim
+        for t in range(0, min(self.action_horizon + 1, self.horizon)):
+            normed = traj[t, a0:a1]
+            action = self.normalizer.unnormalize_actions(normed.reshape(1, -1))
+            self.action_buffer.append(np.ravel(action))
+
+    def get_action(self, observation, **kwargs) -> np.ndarray:
+        """Pop the buffer or replan (reference policies.py:193-223)."""
+        if self.action_buffer:
+            return self.action_buffer.pop(0)
+        trajectory = self.plan(observation)
+        self._fill_action_buffer(trajectory)
+        return self.action_buffer.pop(0)
+
+    def reset(self) -> None:
+        self.action_buffer.clear()
+
+
+class MPCPolicy(GuidedPolicy):
+    """Plan once, execute ``action_horizon`` actions, replan
+    (reference policies.py:226-240)."""
+
+    def __init__(self, diffusion, normalizer, params=None, action_horizon: int = 8,
+                 **kwargs):
+        super().__init__(
+            diffusion, normalizer, params=params, action_horizon=action_horizon,
+            **kwargs,
+        )
+
+
+class ValueGuidedPolicy(GuidedPolicy):
+    """Classifier guidance from a learned value function over observations
+    (reference policies.py:243-271)."""
+
+    def __init__(
+        self,
+        diffusion,
+        normalizer,
+        value_fn: Callable[[jax.Array], jax.Array],
+        params=None,
+        guide_weight: float = 1.0,
+        action_horizon: Optional[int] = None,
+        **kwargs,
+    ):
+        obs_dim = diffusion.observation_dim
+
+        def guide_fn(x, t):
+            # value over the observation slice, summed over horizon
+            # (reference policies.py:264-268)
+            obs = x[:, :, :obs_dim]
+            return jnp.sum(value_fn(obs), axis=1)
+
+        super().__init__(
+            diffusion, normalizer, params=params, guide_fn=guide_fn,
+            guide_weight=guide_weight, action_horizon=action_horizon, **kwargs,
+        )
+        self.value_fn = value_fn
+
+
+class DynamicsAwarePolicy(GuidedPolicy):
+    """Trajectories projected onto the dynamics-consistent subspace at every
+    denoise step — the paper's x_{i-1} = project(denoise(x_i))
+    (reference policies.py:274-485; projection actually wired in here).
+    """
+
+    def __init__(
+        self,
+        diffusion,
+        projection_matrix: Optional[np.ndarray] = None,
+        normalizer=None,
+        params=None,
+        state_dim: int = 4,
+        observation_dim: Optional[int] = None,
+        action_dim: Optional[int] = None,
+        horizon: Optional[int] = None,
+        projection_schedule: str = "constant",
+        projection_strength: float = 1.0,
+        action_horizon: Optional[int] = None,
+        sampling_timesteps: Optional[int] = None,
+        parity_mode: bool = False,
+        seed: int = 0,
+    ):
+        horizon = horizon if horizon is not None else diffusion.horizon
+        # default action_horizon = horizon for MPC behavior (reference :304-305)
+        if action_horizon is None:
+            action_horizon = horizon
+
+        spec = None
+        if projection_matrix is not None and normalizer is not None:
+            spec = ProjectionSpec(
+                state_dim=state_dim,
+                schedule=projection_schedule,
+                strength=projection_strength,
+                parity_mode=parity_mode,
+            )
+
+        super().__init__(
+            diffusion,
+            normalizer,
+            params=params,
+            guide_fn=None,
+            guide_weight=0.0,
+            action_horizon=action_horizon,
+            sampling_timesteps=sampling_timesteps,
+            seed=seed,
+            projection=spec,
+        )
+
+        self.state_dim = state_dim
+        self.projection_schedule = projection_schedule
+        self.projection_strength = projection_strength
+        self.parity_mode = parity_mode
+        self.projection_matrix = projection_matrix
+
+        if projection_matrix is not None and normalizer is not None:
+            self._P = jnp.asarray(projection_matrix, jnp.float32)
+            self._stats = NormStats.from_normalizer(normalizer)

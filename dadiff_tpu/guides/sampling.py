@@ -1,0 +1,173 @@
+"""The sampling engine: conditioning + guidance + dynamics projection fused
+into a single jitted ``lax.scan``.
+
+This is the TPU-native replacement for the reference's host-driven loop
+(policies.py:114-149 `sample_loop` -> :65-112 `p_sample_with_guidance`):
+one compiled XLA program per (shape, config), zero host syncs per denoise
+step. It also implements the *intended* dynamics-aware behavior — per-step
+projection "x_{i-1} = project(denoise(x_i))" (README.md:22-26) — which the
+reference defines (`apply_projection`, policies.py:409-485) but never calls
+(SURVEY.md §2.3 #3). ``ProjectionSpec(parity_mode=True)`` reproduces the
+reference's as-implemented no-projection sampling for A/B comparisons.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dadiff_tpu.models.diffusion import (
+    GaussianDiffusion,
+    default_timesteps,
+    p_mean_variance,
+)
+from dadiff_tpu.ops.projection import NormStats, apply_projection, projection_alpha
+
+
+class Conditions(NamedTuple):
+    """Inpainting conditions: replace trajectory rows where mask is set
+    (jit-friendly encoding of the reference's ``{t: value}`` dict,
+    policies.py:48-63)."""
+
+    values: jax.Array  # (H, D) or (B, H, D)
+    mask: jax.Array  # (H,) bool
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        values = self.values
+        if values.ndim == x.ndim - 1:
+            values = values[None]
+        return jnp.where(self.mask[None, :, None], values, x)
+
+
+def conditions_for_initial_obs(
+    normed_obs: jax.Array, observation_dim: int, horizon: int, transition_dim: int
+) -> Conditions:
+    """Condition row 0 on the current observation, action zeroed — exactly the
+    reference's initial condition (policies.py:212-214 zeroes the action slot
+    too; that zeroed action is later unnormalized and executed, a quirk we
+    preserve for parity)."""
+    normed_obs = jnp.atleast_2d(normed_obs)  # (B, obs_dim)
+    batch = normed_obs.shape[0]
+    row = jnp.zeros((batch, transition_dim), jnp.float32)
+    row = row.at[:, :observation_dim].set(normed_obs)
+    values = jnp.zeros((batch, horizon, transition_dim), jnp.float32)
+    values = values.at[:, 0, :].set(row)
+    mask = jnp.zeros((horizon,), bool).at[0].set(True)
+    return Conditions(values=values, mask=mask)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionSpec:
+    """Static projection configuration for the sampler.
+
+    Attributes:
+        state_dim: physical state dims (first ``state_dim`` obs dims).
+        schedule: 'constant' | 'linear' | 'quadratic' | 'noise_schedule'
+            (reference policies.py:358-383).
+        strength: max blend strength alpha.
+        parity_mode: if True, build the sampler WITHOUT per-step projection,
+            matching the reference's as-implemented behavior (its
+            apply_projection is dead code) instead of its intended behavior.
+    """
+
+    state_dim: int
+    schedule: str = "noise_schedule"
+    strength: float = 1.0
+    parity_mode: bool = False
+
+
+def make_sampler(
+    diffusion: GaussianDiffusion,
+    *,
+    guide_fn: Optional[Callable] = None,
+    guide_weight: float = 1.0,
+    projection: Optional[ProjectionSpec] = None,
+    sampling_timesteps: Optional[int] = None,
+    jit: bool = True,
+):
+    """Build ``plan(params, rng, conditions, P, stats) -> (B, H, D)``.
+
+    The returned function is jitted once per batch shape; P and stats are
+    runtime arguments (pass ``None``/identity when unused) so the same
+    compiled program serves different dynamics.
+
+    Guidance follows reference policies.py:87-97: the gradient of
+    ``guide_fn(x, t).sum()`` is added to the posterior mean scaled by
+    ``guide_weight * exp(log_variance)`` (variance, not sigma — a reference
+    choice we keep).
+    """
+    schedule = diffusion.schedule
+    ts = default_timesteps(diffusion.n_timesteps, sampling_timesteps)
+    transition_dim = diffusion.transition_dim
+    horizon = diffusion.horizon
+
+    use_projection = projection is not None and not projection.parity_mode
+    use_guidance = guide_fn is not None and guide_weight > 0
+
+    def plan(params, rng, conditions: Conditions, P=None, stats: NormStats = None):
+        values, mask = conditions
+        batch = values.shape[0] if values.ndim == 3 else 1
+        shape = (batch, horizon, transition_dim)
+
+        rng, init_key = jax.random.split(rng)
+        x = jax.random.normal(init_key, shape)
+        x = conditions.apply(x)
+        step_keys = jax.random.split(rng, ts.shape[0])
+
+        def body(x, inputs):
+            t, key = inputs
+            t_batch = jnp.full((batch,), t, dtype=jnp.int32)
+
+            model_out = diffusion.apply(params, x, t_batch)
+            mean, log_var = p_mean_variance(
+                model_out, schedule, x, t_batch,
+                clip_denoised=diffusion.clip_denoised,
+                predict_epsilon=diffusion.predict_epsilon,
+            )
+
+            if use_guidance:
+                grad = jax.grad(lambda x_: jnp.sum(guide_fn(x_, t_batch)))(x)
+                mean = mean + guide_weight * jnp.exp(log_var) * grad
+
+            noise = jax.random.normal(key, shape)
+            nonzero = (t != 0).astype(x.dtype)
+            x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+
+            if use_projection:
+                alpha = projection_alpha(
+                    t,
+                    diffusion.n_timesteps,
+                    projection.schedule,
+                    projection.strength,
+                    schedule.betas,
+                )
+                x_next = apply_projection(
+                    x_next, P, alpha, stats,
+                    observation_dim=diffusion.observation_dim,
+                    action_dim=diffusion.action_dim,
+                    state_dim=projection.state_dim,
+                )
+
+            # re-impose hard conditions after every step (policies.py:109-110)
+            x_next = conditions.apply(x_next)
+            return x_next, None
+
+        x, _ = lax.scan(body, x, (ts, step_keys))
+        return x
+
+    if not jit:
+        return plan
+
+    if use_projection:
+        return jax.jit(plan)
+
+    # P/stats unused: close over None so jit doesn't trace dead args
+    jitted = jax.jit(lambda params, rng, conditions: plan(params, rng, conditions))
+    return lambda params, rng, conditions, P=None, stats=None: jitted(
+        params, rng, conditions
+    )

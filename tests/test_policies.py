@@ -1,0 +1,241 @@
+"""Sampling engine + policy tests (reference policies.py:13-485)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dadiff_tpu.datasets.normalization import DatasetNormalizer
+from dadiff_tpu.datasets import sources
+from dadiff_tpu.dynamics.extractor import double_integrator_dynamics
+from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
+from dadiff_tpu.guides.policies import (
+    DynamicsAwarePolicy,
+    GuidedPolicy,
+    MPCPolicy,
+    ValueGuidedPolicy,
+)
+from dadiff_tpu.guides.sampling import (
+    Conditions,
+    ProjectionSpec,
+    conditions_for_initial_obs,
+    make_sampler,
+)
+from dadiff_tpu.models.diffusion import GaussianDiffusion
+from dadiff_tpu.models.temporal_unet import TemporalUnet
+from dadiff_tpu.ops.projection import NormStats, projection_residual
+
+OBS_DIM, ACT_DIM, HORIZON = 6, 2, 8
+TRANS = OBS_DIM + ACT_DIM
+
+
+@pytest.fixture(scope="module")
+def diffusion():
+    unet = TemporalUnet(transition_dim=TRANS, dim=8, dim_mults=(1, 2))
+    return GaussianDiffusion(
+        model=unet, horizon=HORIZON, observation_dim=OBS_DIM, action_dim=ACT_DIM,
+        n_timesteps=10,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(diffusion):
+    return diffusion.init_params(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def normalizer():
+    rng = np.random.RandomState(0)
+    return DatasetNormalizer(
+        rng.randn(500, OBS_DIM), rng.randn(500, ACT_DIM), OBS_DIM, ACT_DIM,
+        normalizer="GaussianNormalizer",
+    )
+
+
+def test_conditions_apply():
+    values = jnp.zeros((1, 4, 3)).at[:, 0].set(jnp.array([9.0, 9.0, 9.0]))
+    mask = jnp.array([True, False, False, False])
+    cond = Conditions(values=values, mask=mask)
+    x = jnp.ones((2, 4, 3))
+    out = cond.apply(x)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), 9.0)
+    np.testing.assert_allclose(np.asarray(out[:, 1:]), 1.0)
+
+
+def test_conditions_for_initial_obs():
+    obs = jnp.arange(OBS_DIM, dtype=jnp.float32)
+    cond = conditions_for_initial_obs(obs, OBS_DIM, HORIZON, TRANS)
+    assert cond.values.shape == (1, HORIZON, TRANS)
+    np.testing.assert_array_equal(np.asarray(cond.values[0, 0, :OBS_DIM]), np.arange(OBS_DIM))
+    np.testing.assert_array_equal(np.asarray(cond.values[0, 0, OBS_DIM:]), 0.0)
+    assert bool(cond.mask[0]) and not bool(cond.mask[1:].any())
+
+
+def test_sampler_respects_conditions(diffusion, params):
+    plan = make_sampler(diffusion)
+    obs = jnp.full((OBS_DIM,), 0.5)
+    cond = conditions_for_initial_obs(obs, OBS_DIM, HORIZON, TRANS)
+    traj = plan(params, jax.random.PRNGKey(1), cond)
+    assert traj.shape == (1, HORIZON, TRANS)
+    np.testing.assert_allclose(np.asarray(traj[0, 0, :OBS_DIM]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(traj[0, 0, OBS_DIM:]), 0.0, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(traj)))
+
+
+def test_sampler_batched(diffusion, params):
+    plan = make_sampler(diffusion)
+    obs = jnp.tile(jnp.linspace(-1, 1, OBS_DIM)[None], (5, 1))
+    cond = conditions_for_initial_obs(obs, OBS_DIM, HORIZON, TRANS)
+    traj = plan(params, jax.random.PRNGKey(2), cond)
+    assert traj.shape == (5, HORIZON, TRANS)
+    # each batch row satisfies its own condition
+    np.testing.assert_allclose(np.asarray(traj[:, 0, :OBS_DIM]), np.asarray(obs), atol=1e-6)
+
+
+def test_guidance_changes_samples(diffusion, params):
+    def guide_fn(x, t):
+        return jnp.sum(x[:, :, 0], axis=1)  # push first obs dim up
+
+    plan0 = make_sampler(diffusion)
+    plan1 = make_sampler(diffusion, guide_fn=guide_fn, guide_weight=5.0)
+    cond = conditions_for_initial_obs(jnp.zeros(OBS_DIM), OBS_DIM, HORIZON, TRANS)
+    t0 = plan0(params, jax.random.PRNGKey(3), cond)
+    t1 = plan1(params, jax.random.PRNGKey(3), cond)
+    assert not np.allclose(np.asarray(t0), np.asarray(t1))
+    # guidance increases the guided quantity
+    assert float(jnp.sum(t1[:, 1:, 0])) > float(jnp.sum(t0[:, 1:, 0]))
+
+
+def test_projected_sampler_reduces_violation(diffusion, params, normalizer):
+    A, B = double_integrator_dynamics(0.1)
+    P = ProjectionMatrixBuilder(A, B, 4, 2).get_projection_matrix(HORIZON)
+    stats = NormStats.from_normalizer(normalizer)
+    spec = ProjectionSpec(state_dim=4, schedule="constant", strength=1.0)
+
+    plan_proj = make_sampler(diffusion, projection=spec)
+    plan_plain = make_sampler(diffusion)
+    cond = conditions_for_initial_obs(jnp.zeros(OBS_DIM), OBS_DIM, HORIZON, TRANS)
+
+    tp = plan_proj(params, jax.random.PRNGKey(4), cond, jnp.asarray(P), stats)
+    t0 = plan_plain(params, jax.random.PRNGKey(4), cond)
+
+    def viol(x):
+        return float(projection_residual(
+            x, jnp.asarray(P), stats, observation_dim=OBS_DIM, action_dim=ACT_DIM,
+            state_dim=4,
+        ))
+
+    assert viol(tp) < 0.1 * viol(t0)
+
+
+def test_parity_mode_matches_plain_sampler(diffusion, params, normalizer):
+    A, B = double_integrator_dynamics(0.1)
+    P = ProjectionMatrixBuilder(A, B, 4, 2).get_projection_matrix(HORIZON)
+    stats = NormStats.from_normalizer(normalizer)
+    spec = ProjectionSpec(state_dim=4, parity_mode=True)
+
+    plan_parity = make_sampler(diffusion, projection=spec)
+    plan_plain = make_sampler(diffusion)
+    cond = conditions_for_initial_obs(jnp.zeros(OBS_DIM), OBS_DIM, HORIZON, TRANS)
+    tp = plan_parity(params, jax.random.PRNGKey(5), cond, jnp.asarray(P), stats)
+    t0 = plan_plain(params, jax.random.PRNGKey(5), cond)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(t0), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Policies
+# ---------------------------------------------------------------------------
+
+def test_guided_policy_get_action(diffusion, params, normalizer):
+    policy = GuidedPolicy(diffusion, normalizer, params=params)
+    obs = np.random.randn(OBS_DIM)
+    action = policy.get_action(obs)
+    assert action.shape == (ACT_DIM,)
+    # action_horizon=1 buffers 2 actions (t=0 and t=1, reference quirk)
+    assert len(policy.action_buffer) == 1
+
+
+def test_guided_policy_dict_obs_goal_concat(diffusion, params, normalizer):
+    policy = GuidedPolicy(diffusion, normalizer, params=params)
+    obs = {
+        "observation": np.zeros(4, np.float32),
+        "desired_goal": np.ones(2, np.float32),
+    }
+    processed = policy._process_observation(obs)
+    assert processed.shape == (1, 6)
+    np.testing.assert_array_equal(processed[0], [0, 0, 0, 0, 1, 1])
+
+    # state-only model: normalizer with obs_dim == 4
+    rng = np.random.RandomState(0)
+    norm4 = DatasetNormalizer(rng.randn(100, 4), rng.randn(100, 2), 4, 2)
+    policy4 = GuidedPolicy(diffusion, norm4, params=params)
+    assert policy4._process_observation(obs).shape == (1, 4)
+
+
+def test_mpc_policy_replans_after_horizon(diffusion, params, normalizer):
+    policy = MPCPolicy(diffusion, normalizer, params=params, action_horizon=3)
+    obs = np.zeros(OBS_DIM)
+    n_actions = 0
+    for _ in range(4):  # buffer holds action_horizon+1 = 4
+        policy.get_action(obs)
+        n_actions += 1
+    assert len(policy.action_buffer) == 0  # exhausted -> next call replans
+    policy.get_action(obs)
+    assert len(policy.action_buffer) == 3
+
+
+def test_first_action_is_mean_action_quirk(diffusion, params, normalizer):
+    """Reference buffers the conditioned (zeroed) t=0 action; unnormalized it
+    equals the dataset action mean (policies.py:181-191)."""
+    policy = GuidedPolicy(diffusion, normalizer, params=params)
+    action = policy.get_action(np.zeros(OBS_DIM))
+    np.testing.assert_allclose(action, normalizer.action_mean, atol=1e-5)
+
+
+def test_value_guided_policy(diffusion, params, normalizer):
+    def value_fn(obs):
+        return -jnp.sum(obs**2, axis=-1)  # prefer small states
+
+    policy = ValueGuidedPolicy(
+        diffusion, normalizer, value_fn, params=params, guide_weight=2.0
+    )
+    action = policy.get_action(np.zeros(OBS_DIM))
+    assert action.shape == (ACT_DIM,)
+
+
+def test_dynamics_aware_policy_end_to_end(diffusion, params, normalizer):
+    A, B = double_integrator_dynamics(0.1)
+    P = ProjectionMatrixBuilder(A, B, 4, 2).get_projection_matrix(HORIZON)
+    policy = DynamicsAwarePolicy(
+        diffusion,
+        projection_matrix=P,
+        normalizer=normalizer,
+        params=params,
+        state_dim=4,
+        projection_schedule="noise_schedule",
+        projection_strength=1.0,
+    )
+    obs = {
+        "observation": np.array([1.0, 1.0, 0.0, 0.0], np.float32),
+        "desired_goal": np.array([2.0, 2.0], np.float32),
+    }
+    action = policy.get_action(obs)
+    assert action.shape == (ACT_DIM,)
+    # default action_horizon == horizon (reference :304-305): buffer has H-1 left
+    assert len(policy.action_buffer) == HORIZON - 1
+
+    traj = policy.plan(obs)
+    stats = NormStats.from_normalizer(normalizer)
+    viol = float(projection_residual(
+        jnp.asarray(traj), jnp.asarray(P), stats,
+        observation_dim=OBS_DIM, action_dim=ACT_DIM, state_dim=4,
+    ))
+    assert viol < 0.5  # projected trajectories are near-feasible
+
+
+def test_policy_determinism_across_instances(diffusion, params, normalizer):
+    p1 = GuidedPolicy(diffusion, normalizer, params=params, seed=7)
+    p2 = GuidedPolicy(diffusion, normalizer, params=params, seed=7)
+    a1 = p1.get_action(np.zeros(OBS_DIM))
+    a2 = p2.get_action(np.zeros(OBS_DIM))
+    np.testing.assert_array_equal(a1, a2)
