@@ -1,0 +1,190 @@
+"""Pure-JAX batched PointMaze: on-device env stepping.
+
+This is the framework's MJX-equivalent (MJX is absent from this image): a
+vectorized, jit/vmap-friendly point-mass maze whose semantics track
+gymnasium-robotics PointMaze (maps, goal threshold 0.45, sparse/dense reward
+exp(-d), action clip ±1, velocity clip ±5 — see
+gymnasium_robotics/envs/maze/{maze_v4,point}.py) with double-integrator
+physics (dt=0.1, the linearization the reference itself uses for PointMaze,
+extractor.py:93-133) and axis-separated wall collision.
+
+Everything is a pure function over a ``PointMazeState`` pytree, so thousands
+of envs run as one XLA program, composing directly with the batched planner
+(envs/rollout.py). The official reference-protocol comparison still uses the
+host env (envs/host.py); this env is for on-device training-data generation
+and large-scale planning benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Canonical maps (gymnasium_robotics/envs/maze/maps.py layout: 1 = wall)
+MAZE_MAPS = {
+    "umaze": [
+        [1, 1, 1, 1, 1],
+        [1, 0, 0, 0, 1],
+        [1, 1, 1, 0, 1],
+        [1, 0, 0, 0, 1],
+        [1, 1, 1, 1, 1],
+    ],
+    "open": [
+        [1, 1, 1, 1, 1, 1, 1],
+        [1, 0, 0, 0, 0, 0, 1],
+        [1, 0, 0, 0, 0, 0, 1],
+        [1, 0, 0, 0, 0, 0, 1],
+        [1, 1, 1, 1, 1, 1, 1],
+    ],
+    "medium": [
+        [1, 1, 1, 1, 1, 1, 1, 1],
+        [1, 0, 0, 1, 1, 0, 0, 1],
+        [1, 0, 0, 1, 0, 0, 0, 1],
+        [1, 1, 0, 0, 0, 1, 1, 1],
+        [1, 0, 0, 1, 0, 0, 0, 1],
+        [1, 0, 1, 0, 0, 1, 0, 1],
+        [1, 0, 0, 0, 1, 0, 0, 1],
+        [1, 1, 1, 1, 1, 1, 1, 1],
+    ],
+    "large": [
+        [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+        [1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1],
+        [1, 0, 1, 1, 0, 1, 1, 0, 1, 1, 0, 1],
+        [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1],
+        [1, 0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1],
+        [1, 0, 0, 1, 0, 1, 0, 0, 0, 0, 0, 1],
+        [1, 1, 0, 1, 0, 1, 0, 1, 0, 1, 1, 1],
+        [1, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1],
+        [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    ],
+}
+
+GOAL_THRESHOLD = 0.45
+VELOCITY_LIMIT = 5.0
+AGENT_RADIUS = 0.1
+
+
+class PointMazeState(NamedTuple):
+    """Batched env state pytree."""
+
+    pos: jax.Array  # (B, 2)
+    vel: jax.Array  # (B, 2)
+    goal: jax.Array  # (B, 2)
+    t: jax.Array  # (B,) int32 step counter
+    done: jax.Array  # (B,) bool
+
+
+@dataclasses.dataclass(frozen=True)
+class PointMazeJax:
+    """Batched double-integrator point maze (static config; methods pure)."""
+
+    map_name: str = "umaze"
+    dt: float = 0.1
+    reward_type: str = "sparse"  # 'sparse' | 'dense'
+    continuing_task: bool = True
+    max_episode_steps: int = 1000
+    reset_noise: float = 0.25
+
+    @property
+    def maze(self) -> np.ndarray:
+        return np.asarray(MAZE_MAPS[self.map_name], dtype=np.int32)
+
+    @property
+    def occupancy(self) -> jax.Array:
+        return jnp.asarray(self.maze)
+
+    def _cell_centers(self) -> np.ndarray:
+        """xy centers of free cells (gymnasium-robotics coordinates: origin at
+        maze center, y increasing upward/row decreasing)."""
+        maze = self.maze
+        H, W = maze.shape
+        rows, cols = np.nonzero(maze == 0)
+        x = (cols + 0.5) - W / 2.0
+        y = H / 2.0 - (rows + 0.5)
+        return np.stack([x, y], axis=-1).astype(np.float32)
+
+    def _xy_to_cell(self, xy: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        H, W = self.maze.shape
+        col = jnp.floor(xy[..., 0] + W / 2.0).astype(jnp.int32)
+        row = jnp.floor(H / 2.0 - xy[..., 1]).astype(jnp.int32)
+        col = jnp.clip(col, 0, W - 1)
+        row = jnp.clip(row, 0, H - 1)
+        return row, col
+
+    def _is_wall(self, xy: jax.Array) -> jax.Array:
+        """Wall check with agent radius: probe the 4 radius-offset corners."""
+        occ = self.occupancy
+        hit = jnp.zeros(xy.shape[:-1], bool)
+        for dx in (-AGENT_RADIUS, AGENT_RADIUS):
+            for dy in (-AGENT_RADIUS, AGENT_RADIUS):
+                row, col = self._xy_to_cell(xy + jnp.asarray([dx, dy]))
+                hit = hit | (occ[row, col] == 1)
+        return hit
+
+    # -- API -------------------------------------------------------------------
+    def reset(self, rng: jax.Array, batch_size: int = 1) -> Tuple[PointMazeState, jax.Array]:
+        """Sample start/goal uniformly over free cells + position noise
+        (gymnasium-robotics semantics)."""
+        centers = jnp.asarray(self._cell_centers())
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        start_idx = jax.random.randint(k1, (batch_size,), 0, centers.shape[0])
+        goal_idx = jax.random.randint(k2, (batch_size,), 0, centers.shape[0])
+        pos = centers[start_idx] + jax.random.uniform(
+            k3, (batch_size, 2), minval=-self.reset_noise, maxval=self.reset_noise
+        )
+        goal = centers[goal_idx] + jax.random.uniform(
+            k4, (batch_size, 2), minval=-self.reset_noise, maxval=self.reset_noise
+        )
+        state = PointMazeState(
+            pos=pos,
+            vel=jnp.zeros((batch_size, 2)),
+            goal=goal,
+            t=jnp.zeros((batch_size,), jnp.int32),
+            done=jnp.zeros((batch_size,), bool),
+        )
+        return state, self.observation(state)
+
+    def observation(self, state: PointMazeState) -> jax.Array:
+        """Goal-conditioned obs [x, y, vx, vy, gx, gy] — the same layout the
+        data layer trains on (sources.flatten_observation)."""
+        return jnp.concatenate([state.pos, state.vel, state.goal], axis=-1)
+
+    def step(
+        self, state: PointMazeState, action: jax.Array
+    ) -> Tuple[PointMazeState, jax.Array, jax.Array, jax.Array]:
+        """One physics step. Returns (state, obs, reward, done)."""
+        a = jnp.clip(action, -1.0, 1.0)
+        vel = jnp.clip(state.vel + a * self.dt, -VELOCITY_LIMIT, VELOCITY_LIMIT)
+
+        # axis-separated wall resolution: blocked axes stop (vel zeroed)
+        pos_x_try = state.pos + jnp.stack(
+            [vel[..., 0] * self.dt, jnp.zeros_like(vel[..., 1])], axis=-1
+        )
+        hit_x = self._is_wall(pos_x_try)
+        pos_x = jnp.where(hit_x[..., None], state.pos, pos_x_try)
+        vel = vel.at[..., 0].set(jnp.where(hit_x, 0.0, vel[..., 0]))
+
+        pos_y_try = pos_x + jnp.stack(
+            [jnp.zeros_like(vel[..., 0]), vel[..., 1] * self.dt], axis=-1
+        )
+        hit_y = self._is_wall(pos_y_try)
+        pos = jnp.where(hit_y[..., None], pos_x, pos_y_try)
+        vel = vel.at[..., 1].set(jnp.where(hit_y, 0.0, vel[..., 1]))
+
+        dist = jnp.linalg.norm(pos - state.goal, axis=-1)
+        success = dist <= GOAL_THRESHOLD
+        if self.reward_type == "dense":
+            reward = jnp.exp(-dist)
+        else:
+            reward = success.astype(jnp.float32)
+
+        t = state.t + 1
+        terminated = jnp.zeros_like(success) if self.continuing_task else success
+        done = state.done | terminated | (t >= self.max_episode_steps)
+
+        new_state = PointMazeState(pos=pos, vel=vel, goal=state.goal, t=t, done=done)
+        return new_state, self.observation(new_state), reward, done

@@ -1,0 +1,113 @@
+"""Fully on-device plan->step->replan (the BASELINE.json north-star loop).
+
+The reference's eval loop crosses the host boundary thousands of times per
+episode: 500 python-driven denoise steps per replan + a CPU MuJoCo step per
+action (evaluate.py:235-240, SURVEY.md §3.2). Here the entire loop — reverse
+diffusion, action extraction, env physics — is one jitted program over a
+batch of environments: two nested lax.scans (macro: replans; inner: env
+steps), zero host syncs until the final metrics fetch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dadiff_tpu.envs.pointmaze_jax import PointMazeJax
+from dadiff_tpu.guides.sampling import (
+    Conditions,
+    ProjectionSpec,
+    conditions_for_initial_obs,
+    make_sampler,
+)
+from dadiff_tpu.models.diffusion import GaussianDiffusion
+from dadiff_tpu.ops.projection import NormStats
+
+
+class RolloutMetrics(NamedTuple):
+    success_rate: jax.Array  # () fraction of envs that ever reached the goal
+    mean_reward: jax.Array  # () mean total reward per env
+    mean_final_distance: jax.Array  # () mean distance to goal at end
+
+
+def make_ondevice_evaluator(
+    diffusion: GaussianDiffusion,
+    env: PointMazeJax,
+    *,
+    action_horizon: int = 8,
+    n_replans: int = 16,
+    sampling_timesteps: Optional[int] = None,
+    projection: Optional[ProjectionSpec] = None,
+    jit: bool = True,
+):
+    """Build ``evaluate(params, rng, stats, batch_size, P=None) ->
+    (RolloutMetrics, final_state)`` running ``n_replans`` plan->act cycles of
+    ``action_horizon`` env steps each, entirely on device.
+
+    ``stats`` (NormStats) maps between env physical space and the model's
+    normalized trajectory space.
+    """
+    plan = make_sampler(
+        diffusion,
+        projection=projection,
+        sampling_timesteps=sampling_timesteps,
+        jit=False,
+    )
+    obs_dim = diffusion.observation_dim
+    act_dim = diffusion.action_dim
+    horizon = diffusion.horizon
+    trans_dim = diffusion.transition_dim
+    if action_horizon > horizon:
+        raise ValueError("action_horizon must be <= planning horizon")
+
+    def evaluate(params, rng, stats: NormStats, batch_size: int, P=None):
+        rng, reset_key = jax.random.split(rng)
+        state, obs = env.reset(reset_key, batch_size)
+        total_reward = jnp.zeros((batch_size,))
+        succeeded = jnp.zeros((batch_size,), bool)
+
+        def macro_step(carry, key):
+            state, obs, total_reward, succeeded = carry
+
+            normed_obs = (obs - stats.obs_mean) / stats.obs_std
+            cond = conditions_for_initial_obs(normed_obs, obs_dim, horizon, trans_dim)
+            traj = plan(params, key, cond, P, stats)
+
+            # actions for the next action_horizon steps (physical space)
+            acts_norm = traj[:, :action_horizon, obs_dim : obs_dim + act_dim]
+            acts = acts_norm * stats.action_std + stats.action_mean
+
+            def env_step(inner, a):
+                state, obs, total_reward, succeeded = inner
+                state, obs, reward, _ = env.step(state, a)
+                total_reward = total_reward + reward
+                dist = jnp.linalg.norm(state.pos - state.goal, axis=-1)
+                succeeded = succeeded | (dist <= 0.45)
+                return (state, obs, total_reward, succeeded), None
+
+            (state, obs, total_reward, succeeded), _ = lax.scan(
+                env_step,
+                (state, obs, total_reward, succeeded),
+                jnp.swapaxes(acts, 0, 1),  # (A, B, act_dim)
+            )
+            return (state, obs, total_reward, succeeded), None
+
+        keys = jax.random.split(rng, n_replans)
+        (state, obs, total_reward, succeeded), _ = lax.scan(
+            macro_step, (state, obs, total_reward, succeeded), keys
+        )
+
+        final_dist = jnp.linalg.norm(state.pos - state.goal, axis=-1)
+        metrics = RolloutMetrics(
+            success_rate=jnp.mean(succeeded.astype(jnp.float32)),
+            mean_reward=jnp.mean(total_reward),
+            mean_final_distance=jnp.mean(final_dist),
+        )
+        return metrics, state
+
+    if jit:
+        return jax.jit(evaluate, static_argnames=("batch_size",))
+    return evaluate

@@ -1,0 +1,167 @@
+"""Env layer tests: pure-JAX PointMaze, host harness, on-device rollout."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dadiff_tpu.envs.pointmaze_jax import MAZE_MAPS, PointMazeJax, PointMazeState
+from dadiff_tpu.envs.host import evaluate_policy, save_results
+from dadiff_tpu.envs.rollout import make_ondevice_evaluator
+from dadiff_tpu.models.diffusion import GaussianDiffusion
+from dadiff_tpu.models.temporal_unet import TemporalUnet
+from dadiff_tpu.ops.projection import NormStats
+
+
+@pytest.fixture(scope="module")
+def env():
+    return PointMazeJax(map_name="umaze")
+
+
+def test_reset_positions_in_free_space(env):
+    state, obs = env.reset(jax.random.PRNGKey(0), batch_size=64)
+    assert state.pos.shape == (64, 2)
+    assert obs.shape == (64, 6)
+    # no start position inside a wall
+    assert not bool(env._is_wall(state.pos).any())
+    assert not bool(env._is_wall(state.goal).any())
+    np.testing.assert_array_equal(np.asarray(state.vel), 0.0)
+
+
+def test_umaze_free_cells():
+    maze = np.asarray(MAZE_MAPS["umaze"])
+    assert maze.sum() == maze.size - 7  # U-maze has 7 free cells
+
+
+def test_step_moves_toward_acceleration(env):
+    state, _ = env.reset(jax.random.PRNGKey(1), batch_size=4)
+    # zero action: position unchanged (v=0)
+    s2, obs, r, d = env.step(state, jnp.zeros((4, 2)))
+    np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(state.pos), atol=1e-6)
+    # push +x from rest in open space: moves +x by v*dt = (1*0.1)*0.1
+    s3, *_ = env.step(state, jnp.tile(jnp.array([[1.0, 0.0]]), (4, 1)))
+    moved = np.asarray(s3.pos[:, 0] - state.pos[:, 0])
+    blocked = np.asarray(env._is_wall(state.pos + jnp.asarray([0.11, 0.0])))
+    np.testing.assert_allclose(moved[~blocked], 0.01, atol=1e-6)
+
+
+def test_velocity_clipped(env):
+    state, _ = env.reset(jax.random.PRNGKey(2), batch_size=1)
+    # place in the open corridor and push hard many times
+    state = state._replace(pos=jnp.array([[0.5, 1.0]]), vel=jnp.array([[4.99, 0.0]]))
+    s, *_ = env.step(state, jnp.array([[1.0, 0.0]]))
+    assert float(s.vel[0, 0]) <= 5.0 + 1e-6
+
+
+def test_walls_block_motion(env):
+    # U-maze top corridor is row 1 (y in (0.5, 1.5)), free for x in
+    # (-1.5, 1.5); the border wall starts at x=1.5. Push hard right.
+    state = PointMazeState(
+        pos=jnp.array([[-1.0, 1.0]]),
+        vel=jnp.array([[3.0, 0.0]]),
+        goal=jnp.array([[1.0, -1.0]]),
+        t=jnp.zeros((1,), jnp.int32),
+        done=jnp.zeros((1,), bool),
+    )
+    assert not bool(env._is_wall(state.pos).any())  # start is free
+    for _ in range(30):
+        state, obs, r, d = env.step(state, jnp.array([[1.0, 0.0]]))
+    # stopped at the border wall, never inside it
+    assert not bool(env._is_wall(state.pos).any())
+    assert float(state.pos[0, 0]) < 1.5
+    assert float(state.pos[0, 0]) > 1.2  # actually travelled to the wall
+    assert float(state.vel[0, 0]) == 0.0  # x-velocity killed on impact
+
+
+def test_sparse_and_dense_reward():
+    env_s = PointMazeJax(reward_type="sparse")
+    env_d = PointMazeJax(reward_type="dense")
+    state, _ = env_s.reset(jax.random.PRNGKey(3), batch_size=1)
+    at_goal = state._replace(pos=state.goal, vel=jnp.zeros((1, 2)))
+    _, _, r_s, _ = env_s.step(at_goal, jnp.zeros((1, 2)))
+    _, _, r_d, _ = env_d.step(at_goal, jnp.zeros((1, 2)))
+    assert float(r_s[0]) == 1.0
+    assert 0.9 < float(r_d[0]) <= 1.0
+
+
+def test_env_jit_and_vmap_compose(env):
+    @jax.jit
+    def run(rng):
+        state, obs = env.reset(rng, batch_size=8)
+
+        def body(s, _):
+            s, o, r, d = env.step(s, jnp.ones((8, 2)) * 0.1)
+            return s, r
+
+        state, rewards = jax.lax.scan(body, state, None, length=20)
+        return state.pos, rewards
+
+    pos, rewards = run(jax.random.PRNGKey(4))
+    assert pos.shape == (8, 2)
+    assert rewards.shape == (20, 8)
+    assert np.all(np.isfinite(np.asarray(pos)))
+
+
+def test_ondevice_evaluator_runs(env):
+    unet = TemporalUnet(transition_dim=8, dim=8, dim_mults=(1, 2))
+    d = GaussianDiffusion(
+        model=unet, horizon=8, observation_dim=6, action_dim=2, n_timesteps=5
+    )
+    params = d.init_params(jax.random.PRNGKey(0))
+    stats = NormStats.identity(6, 2)
+    evaluator = make_ondevice_evaluator(
+        d, env, action_horizon=4, n_replans=3
+    )
+    metrics, state = evaluator(params, jax.random.PRNGKey(1), stats, 16)
+    assert metrics.success_rate.shape == ()
+    assert 0.0 <= float(metrics.success_rate) <= 1.0
+    assert np.isfinite(float(metrics.mean_reward))
+    assert int(state.t[0]) == 12  # 3 replans x 4 steps
+
+
+class _ScriptedEnv:
+    """Tiny host-env stub for evaluate_policy protocol tests."""
+
+    def __init__(self, n_steps=5):
+        self.n_steps = n_steps
+
+    def reset(self, seed=None):
+        self.t = 0
+        return {"observation": np.zeros(4), "desired_goal": np.ones(2)}, {}
+
+    def step(self, action):
+        self.t += 1
+        done = self.t >= self.n_steps
+        info = {"success": done}
+        return (
+            {"observation": np.zeros(4), "desired_goal": np.ones(2)},
+            1.0,
+            done,
+            False,
+            info,
+        )
+
+
+class _ConstPolicy:
+    def get_action(self, obs):
+        return np.zeros(2)
+
+    def reset(self):
+        pass
+
+
+def test_evaluate_policy_protocol(tmp_path):
+    metrics = evaluate_policy(_ConstPolicy(), _ScriptedEnv(), n_episodes=3, verbose=False)
+    assert metrics["mean_reward"] == 5.0
+    assert metrics["mean_length"] == 5.0
+    assert metrics["success_rate"] == 1.0
+    path = save_results(
+        metrics, policy_type="guided", env_name="Stub-v0",
+        results_dir=str(tmp_path), n_episodes=3,
+    )
+    import json
+
+    with open(path) as f:
+        results = json.load(f)
+    assert results["metrics"]["success_rate"] == 1.0
+    assert len(results["metrics"]["episode_rewards"]) == 3
