@@ -1,0 +1,507 @@
+"""Command-line entry points: train / evaluate / download.
+
+Flag surfaces mirror the reference CLIs (train.py:22-102, evaluate.py:28-60,
+download_data.py:10-21) with TPU-native additions: --config (YAML experiment
+files that are actually consumed), --mesh-dp (data-parallel mesh), --dtype,
+dataset specs beyond minari ('synthetic:…', 'gym:…', 'npz:…'), and a
+--parity-mode switch on dynamics-aware eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _select_device(device: str) -> None:
+    """--device {tpu,cpu}: JAX_PLATFORMS is pinned by some environments, so
+    override via config after import."""
+    if device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _mesh(n_dp: int):
+    if n_dp <= 1:
+        return None
+    from dadiff_tpu.parallel.mesh import make_mesh
+
+    return make_mesh({"dp": n_dp})
+
+
+# ===========================================================================
+# train
+# ===========================================================================
+
+def build_train_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train/Fine-tune a diffusion planner")
+    p.add_argument("--config", type=str, default=None,
+                   help="YAML/JSON experiment config (CLI flags override)")
+    # Dataset (reference train.py:26-31)
+    p.add_argument("--dataset", type=str, default="synthetic:pointmaze",
+                   help="dataset spec: minari name | synthetic:* | gym:* | npz:*")
+    p.add_argument("--horizon", type=int, default=16)
+    p.add_argument("--normalizer", type=str, default="LimitsNormalizer",
+                   choices=["LimitsNormalizer", "GaussianNormalizer"])
+    p.add_argument("--max-path-length", type=int, default=1000)
+    # Model (reference train.py:33-42)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--dim-mults", type=int, nargs="+", default=[1, 2, 4])
+    p.add_argument("--kernel-size", type=int, default=5)
+    p.add_argument("--n-timesteps", type=int, default=200)
+    p.add_argument("--beta-schedule", type=str, default="cosine",
+                   choices=["linear", "cosine"])
+    p.add_argument("--loss-type", type=str, default="l2", choices=["l1", "l2"])
+    # Training (reference train.py:44-53)
+    p.add_argument("--n-epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--warmup-steps", type=int, default=2000)
+    p.add_argument("--gradient-clip", type=float, default=4.0)
+    # Fine-tuning (reference train.py:55-61)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--reset-optimizer", action="store_true")
+    p.add_argument("--finetune-mode", action="store_true")
+    # Loss composition (reference train.py:63-67)
+    p.add_argument("--projection-weight", type=float, default=0.0)
+    p.add_argument("--value-guidance-weight", type=float, default=0.0)
+    # Dynamics (reference train.py:70-75)
+    p.add_argument("--env", type=str, default="PointMaze_UMaze-v3")
+    p.add_argument("--dynamics-method", type=str, default="data-driven",
+                   choices=["data-driven", "analytical", "numerical", "trajectory",
+                            "none"])
+    # EMA (reference train.py:77-81)
+    p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--ema-decay", type=float, default=0.995)
+    # Logging (reference train.py:83-91)
+    p.add_argument("--log-dir", type=str, default="./logs")
+    p.add_argument("--save-freq", type=int, default=10000)
+    p.add_argument("--eval-freq", type=int, default=5000)
+    p.add_argument("--run-name", type=str, default=None)
+    # System (reference train.py:93-100 + TPU additions)
+    p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--num-workers", type=int, default=0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mesh-dp", type=int, default=1,
+                   help="data-parallel mesh size (1 = single device)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation dtype for the U-Net")
+    p.add_argument("--no-export-pt", action="store_true",
+                   help="skip reference-schema .pt checkpoint export")
+    return p
+
+
+def train_main(argv=None) -> str:
+    parser = build_train_parser()
+    args = parser.parse_args(argv)
+    if args.config:
+        from dadiff_tpu.utils.config import apply_config_defaults, load_experiment_config
+
+        apply_config_defaults(args, load_experiment_config(args.config), parser)
+
+    _select_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dadiff_tpu.datasets.sequence import SequenceDataset, create_dataloader
+    from dadiff_tpu.losses import build_loss
+    from dadiff_tpu.models.diffusion import GaussianDiffusion
+    from dadiff_tpu.models.temporal_unet import TemporalUnet
+    from dadiff_tpu.utils.arrays import set_seed
+    from dadiff_tpu.utils.training import Trainer, count_parameters, save_config
+
+    set_seed(args.seed)
+
+    mode = "Fine-tuning" if args.checkpoint else "Training"
+    print(f"=== {mode}: dataset={args.dataset} horizon={args.horizon} "
+          f"device={jax.default_backend()} ===")
+
+    # Log dir layout (reference train.py:357-366)
+    safe_ds = args.dataset.replace("/", "_").replace(":", "_")
+    log_dir = Path(args.log_dir) / safe_ds
+    if args.run_name:
+        log_dir = log_dir / args.run_name
+    log_dir.mkdir(parents=True, exist_ok=True)
+    save_config(vars(args), str(log_dir / "config.json"))
+
+    # Checkpoint (for fine-tune/resume): infer architecture from weights
+    # (reference train.py:116-171)
+    checkpoint = None
+    ckpt_params = None
+    if args.checkpoint:
+        from dadiff_tpu.io.torch_compat import (
+            diffusion_state_to_flax,
+            infer_model_config_from_checkpoint,
+            load_pt_checkpoint,
+        )
+
+        checkpoint = load_pt_checkpoint(args.checkpoint)
+        inferred = infer_model_config_from_checkpoint(checkpoint)
+        args.dim = inferred["dim"]
+        args.dim_mults = inferred["dim_mults"]
+        args.n_timesteps = inferred["n_timesteps"]
+        args.beta_schedule = inferred["beta_schedule"]
+        args.horizon = inferred["horizon"]
+        ckpt_params = diffusion_state_to_flax(checkpoint["model_state_dict"])
+        print(f"checkpoint config inferred: dim={args.dim} mults={args.dim_mults} "
+              f"T={args.n_timesteps} horizon={args.horizon}")
+
+    # Dataset (reference train.py:369-386)
+    dataset = SequenceDataset(
+        dataset_name=args.dataset,
+        horizon=args.horizon,
+        normalizer=args.normalizer,
+        max_path_length=args.max_path_length,
+    )
+    loader = create_dataloader(
+        dataset, batch_size=args.batch_size, shuffle=True,
+        num_workers=args.num_workers, seed=args.seed,
+    )
+    print(f"dataset: {len(dataset)} windows, obs={dataset.observation_dim} "
+          f"act={dataset.action_dim}")
+
+    # Model (reference train.py:174-235)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    unet = TemporalUnet(
+        transition_dim=dataset.transition_dim,
+        dim=args.dim,
+        dim_mults=tuple(args.dim_mults),
+        kernel_size=args.kernel_size,
+        dtype=dtype,
+    )
+    diffusion = GaussianDiffusion(
+        model=unet,
+        horizon=args.horizon,
+        observation_dim=dataset.observation_dim,
+        action_dim=dataset.action_dim,
+        n_timesteps=args.n_timesteps,
+        beta_schedule=args.beta_schedule,
+        loss_type=args.loss_type,
+    )
+
+    # Loss composition (reference train.py:237-311, sans its NameError bug)
+    projection_matrix, state_dim = None, None
+    if args.projection_weight > 0 and args.dynamics_method != "none":
+        from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
+        from dadiff_tpu.dynamics.registry import get_dynamics_for_env
+
+        # hermetic sources can reuse the training episodes for sysID
+        episodes = None
+        if args.dataset.startswith(("synthetic:", "npz:", "gym:")):
+            from dadiff_tpu.datasets.sources import load_episodes
+
+            episodes = load_episodes(args.dataset)
+        A, B, state_dim, act_dim = get_dynamics_for_env(
+            env_name=args.env,
+            dataset_name=None if episodes else args.dataset,
+            method=args.dynamics_method.replace("-", "_"),
+            episodes=episodes,
+        )
+        P = ProjectionMatrixBuilder(A, B, state_dim, act_dim).get_projection_matrix(
+            args.horizon
+        )
+        projection_matrix = P
+        print(f"projection loss enabled: state_dim={state_dim} P{P.shape}")
+
+    loss_fn, loss_names = build_loss(
+        diffusion,
+        projection_weight=args.projection_weight,
+        projection_matrix=projection_matrix,
+        normalizer=dataset.normalizer,
+        state_dim=state_dim,
+    )
+
+    # LR / fine-tune semantics (reference train.py:400-425)
+    lr = args.lr
+    if args.finetune_mode and not args.reset_optimizer:
+        lr = args.lr * 0.1
+        print(f"fine-tune mode: lr -> {lr}")
+
+    total_steps = args.n_epochs * len(loader)
+    trainer = Trainer(
+        diffusion,
+        loader,
+        loss_fn,
+        params=ckpt_params,
+        lr=lr,
+        warmup_steps=args.warmup_steps if (args.reset_optimizer or not args.checkpoint)
+        else 0,
+        total_steps=total_steps,
+        gradient_clip=args.gradient_clip,
+        use_ema=args.use_ema,
+        ema_decay=args.ema_decay,
+        log_dir=str(log_dir),
+        save_freq=args.save_freq,
+        eval_freq=args.eval_freq,
+        loss_names=loss_names,
+        mesh=_mesh(args.mesh_dp),
+        seed=args.seed,
+        export_pt=not args.no_export_pt,
+    )
+    print(f"model parameters: {count_parameters(trainer.state.params):,}")
+
+    start_epoch = 0
+    if checkpoint is not None and not args.reset_optimizer:
+        start_epoch = int(checkpoint.get("epoch", 0))
+
+    trainer.train(args.n_epochs, start_epoch=start_epoch)
+
+    final_config = {
+        **trainer._config_dict(),
+        "projection_weight": args.projection_weight,
+        "value_guidance_weight": args.value_guidance_weight,
+        "loss_components": loss_names,
+        "normalizer": args.normalizer,
+        "dataset": args.dataset,
+    }
+    with open(log_dir / "final_config.json", "w") as f:
+        json.dump(final_config, f, indent=2)
+    print(f"{mode} complete. Logs: {log_dir}")
+    return str(log_dir)
+
+
+# ===========================================================================
+# evaluate
+# ===========================================================================
+
+def build_eval_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Evaluate a diffusion planner")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--env", type=str, default="PointMaze_UMaze-v3")
+    p.add_argument("--n-episodes", type=int, default=10)
+    p.add_argument("--policy-type", type=str, default="mpc",
+                   choices=["guided", "mpc", "dynamics-aware"])
+    p.add_argument("--action-horizon", type=int, default=16)
+    p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--render", type=str, default="none",
+                   choices=["none", "human", "video"])
+    p.add_argument("--video-dir", type=str, default="./videos")
+    p.add_argument("--results-dir", type=str, default="./results")
+    p.add_argument("--dataset", type=str, default=None,
+                   help="dataset spec for the normalizer (defaults by env)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--sampling-timesteps", type=int, default=200)
+    p.add_argument("--projection-schedule", type=str, default="noise_schedule",
+                   choices=["constant", "linear", "quadratic", "noise_schedule"])
+    p.add_argument("--projection-strength", type=float, default=1.0)
+    p.add_argument("--parity-mode", action="store_true",
+                   help="reproduce the reference's as-implemented sampling "
+                        "(projection NOT applied during denoising)")
+    p.add_argument("--use-ema", action="store_true",
+                   help="evaluate the EMA weights if present")
+    p.add_argument("--max-steps", type=int, default=1000)
+    return p
+
+
+# env -> default dataset spec (reference evaluate.py:333-337 + hermetic paths)
+ENV_TO_DATASET = {
+    "HalfCheetah-v5": "mujoco/halfcheetah/simple-v0",
+    "Hopper-v5": "mujoco/hopper/simple-v0",
+    "Walker2d-v5": "mujoco/walker2d/simple-v0",
+    "PointMaze_UMaze-v3": "D4RL/pointmaze/umaze-v2",
+    "PointMaze_Medium-v3": "D4RL/pointmaze/medium-v2",
+    "PointMaze_Large-v3": "D4RL/pointmaze/large-v2",
+}
+
+
+def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
+               use_ema: bool = False, sampling_timesteps=None):
+    """Load a .pt checkpoint + dataset normalizer and rebuild the model
+    (reference evaluate.py:125-203). Returns (diffusion, params, dataset)."""
+    from dadiff_tpu.datasets.sequence import SequenceDataset
+    from dadiff_tpu.io.torch_compat import (
+        diffusion_state_to_flax,
+        infer_model_config_from_checkpoint,
+        load_pt_checkpoint,
+    )
+    from dadiff_tpu.models.diffusion import GaussianDiffusion
+    from dadiff_tpu.models.temporal_unet import TemporalUnet
+
+    checkpoint = load_pt_checkpoint(checkpoint_path)
+    cfg = infer_model_config_from_checkpoint(checkpoint)
+    horizon = horizon_hint or cfg["horizon"]
+
+    dataset = SequenceDataset(
+        dataset_name=dataset_spec,
+        horizon=horizon,
+        normalizer="LimitsNormalizer",
+        max_path_length=1000,
+        use_padding=True,
+    )
+    unet = TemporalUnet(
+        transition_dim=dataset.transition_dim,
+        dim=cfg["dim"],
+        dim_mults=tuple(cfg["dim_mults"]),
+    )
+    diffusion = GaussianDiffusion(
+        model=unet,
+        horizon=horizon,
+        observation_dim=dataset.observation_dim,
+        action_dim=dataset.action_dim,
+        n_timesteps=cfg["n_timesteps"],
+        beta_schedule=cfg["beta_schedule"],
+    )
+    state_key = "ema_state_dict" if (use_ema and checkpoint.get("ema_state_dict")) \
+        else "model_state_dict"
+    params = diffusion_state_to_flax(checkpoint[state_key])
+    return diffusion, params, dataset
+
+
+def evaluate_main(argv=None) -> dict:
+    parser = build_eval_parser()
+    args = parser.parse_args(argv)
+    _select_device(args.device)
+
+    from dadiff_tpu.envs.host import evaluate_policy, make_env, save_results
+    from dadiff_tpu.guides.policies import (
+        DynamicsAwarePolicy,
+        GuidedPolicy,
+        MPCPolicy,
+    )
+
+    dataset_spec = args.dataset or ENV_TO_DATASET.get(args.env)
+    if dataset_spec is None:
+        raise SystemExit(f"No default dataset for {args.env}; pass --dataset")
+
+    print(f"=== Evaluating {args.policy_type} on {args.env} "
+          f"(checkpoint {args.checkpoint}) ===")
+    diffusion, params, dataset = load_model(
+        args.checkpoint, dataset_spec, use_ema=args.use_ema
+    )
+
+    # Safe truncation (vs reference's raw overwrite, evaluate.py:350-353)
+    sampling_timesteps = min(args.sampling_timesteps, diffusion.n_timesteps)
+    if sampling_timesteps != args.sampling_timesteps:
+        print(f"clamping sampling timesteps {args.sampling_timesteps} -> "
+              f"{sampling_timesteps} (trained {diffusion.n_timesteps})")
+
+    if args.policy_type == "guided":
+        policy = GuidedPolicy(
+            diffusion, dataset.normalizer, params=params,
+            sampling_timesteps=sampling_timesteps, seed=args.seed,
+        )
+    elif args.policy_type == "mpc":
+        policy = MPCPolicy(
+            diffusion, dataset.normalizer, params=params,
+            action_horizon=args.action_horizon,
+            sampling_timesteps=sampling_timesteps, seed=args.seed,
+        )
+    else:  # dynamics-aware (reference evaluate.py:362-404)
+        from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
+        from dadiff_tpu.dynamics.registry import get_dynamics_for_env
+
+        episodes = None
+        if dataset_spec.startswith(("synthetic:", "npz:", "gym:")):
+            from dadiff_tpu.datasets.sources import load_episodes
+
+            episodes = load_episodes(dataset_spec)
+        A, B, state_dim, action_dim = get_dynamics_for_env(
+            env_name=args.env,
+            dataset_name=None if episodes else dataset_spec,
+            method="data_driven",
+            episodes=episodes,
+        )
+        P = ProjectionMatrixBuilder(A, B, state_dim, action_dim).get_projection_matrix(
+            diffusion.horizon
+        )
+        policy = DynamicsAwarePolicy(
+            diffusion,
+            projection_matrix=P,
+            normalizer=dataset.normalizer,
+            params=params,
+            state_dim=state_dim,
+            projection_schedule=args.projection_schedule,
+            projection_strength=args.projection_strength,
+            action_horizon=args.action_horizon,
+            sampling_timesteps=sampling_timesteps,
+            parity_mode=args.parity_mode,
+            seed=args.seed,
+        )
+
+    env = make_env(args.env, render=args.render, video_dir=args.video_dir)
+    env.reset(seed=args.seed)
+
+    metrics = evaluate_policy(
+        policy, env, n_episodes=args.n_episodes, max_steps=args.max_steps
+    )
+    path = save_results(
+        metrics,
+        policy_type=args.policy_type,
+        env_name=args.env,
+        results_dir=args.results_dir,
+        checkpoint=args.checkpoint,
+        dataset=dataset_spec,
+        n_episodes=args.n_episodes,
+        sampling_timesteps=sampling_timesteps,
+        seed=args.seed,
+    )
+    print(f"Mean reward: {metrics['mean_reward']:.2f} ± {metrics['std_reward']:.2f}")
+    print(f"Mean length: {metrics['mean_length']:.2f} "
+          f"success rate: {metrics['success_rate']:.2f}")
+    print(f"Results: {path}")
+    env.close()
+    return metrics
+
+
+# ===========================================================================
+# download / dataset management
+# ===========================================================================
+
+def download_main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Dataset management")
+    p.add_argument("--list", action="store_true", help="list remote minari datasets")
+    p.add_argument("--info", type=str, default=None, help="show dataset info")
+    p.add_argument("--dataset", type=str, default=None, help="download one dataset")
+    p.add_argument("--collect", type=str, default=None,
+                   help="collect episodes from a source spec "
+                        "(synthetic:*/gym:*) into --out")
+    p.add_argument("--episodes", type=int, default=100)
+    p.add_argument("--out", type=str, default=None, help=".npz output path")
+    args = p.parse_args(argv)
+
+    if args.collect:
+        from dadiff_tpu.datasets.sources import load_episodes, save_episodes_npz
+
+        episodes = load_episodes(args.collect, n_episodes=args.episodes)
+        out = args.out or "episodes.npz"
+        save_episodes_npz(out, episodes)
+        print(f"saved {len(episodes)} episodes -> {out}")
+        return
+
+    try:
+        import minari
+    except ImportError:
+        raise SystemExit(
+            "minari is not installed; use --collect synthetic:pointmaze or "
+            "--collect gym:<EnvName> for hermetic data"
+        )
+
+    if args.list:
+        remote = minari.list_remote_datasets()
+        for name in sorted(remote):
+            print(name)
+    elif args.info:
+        ds = minari.load_dataset(args.info, download=True)
+        print(f"{args.info}: {len(ds)} episodes")
+    elif args.dataset:
+        minari.load_dataset(args.dataset, download=True)
+        print(f"downloaded {args.dataset}")
+    else:
+        for name in (
+            "D4RL/pointmaze/umaze-v2",
+            "mujoco/halfcheetah/simple-v0",
+            "mujoco/hopper/simple-v0",
+        ):
+            print(f"downloading {name}...")
+            try:
+                minari.load_dataset(name, download=True)
+            except Exception as e:
+                print(f"  failed: {e}")
