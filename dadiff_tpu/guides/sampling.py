@@ -114,13 +114,15 @@ def make_sampler(
         batch = values.shape[0] if values.ndim == 3 else 1
         shape = (batch, horizon, transition_dim)
 
-        rng, init_key = jax.random.split(rng)
+        rng, init_key, noise_key = jax.random.split(rng, 3)
         x = jax.random.normal(init_key, shape)
         x = conditions.apply(x)
-        step_keys = jax.random.split(rng, ts.shape[0])
+        # all per-step noise drawn in one fused op outside the scan — inside
+        # the body it would serialize a threefry chain per iteration
+        step_noise = jax.random.normal(noise_key, (ts.shape[0],) + shape)
 
         def body(x, inputs):
-            t, key = inputs
+            t, noise = inputs
             t_batch = jnp.full((batch,), t, dtype=jnp.int32)
 
             model_out = diffusion.apply(params, x, t_batch)
@@ -134,7 +136,6 @@ def make_sampler(
                 grad = jax.grad(lambda x_: jnp.sum(guide_fn(x_, t_batch)))(x)
                 mean = mean + guide_weight * jnp.exp(log_var) * grad
 
-            noise = jax.random.normal(key, shape)
             nonzero = (t != 0).astype(x.dtype)
             x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
@@ -157,7 +158,7 @@ def make_sampler(
             x_next = conditions.apply(x_next)
             return x_next, None
 
-        x, _ = lax.scan(body, x, (ts, step_keys))
+        x, _ = lax.scan(body, x, (ts, step_noise))
         return x
 
     if not jit:
