@@ -223,7 +223,10 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
     Specs:
         'synthetic:<kind>[:n=<episodes>,T=<len>]'   hermetic generator
         'npz:<path>'                                cached episodes
-        'gym:<EnvName>[:n=<episodes>]'              live rollout collection
+        'gym:<EnvName>[:n=<episodes>]'              random-policy collection
+        'expert:<EnvName>[:n=<episodes>,noise=<f>]' waypoint-expert collection
+                                                    (maze envs; regenerates
+                                                    D4RL-style data locally)
         anything else                               Minari dataset name
         (e.g. 'D4RL/pointmaze/umaze-v2', reference registry.py:30-34)
     """
@@ -240,6 +243,19 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
         )
     if spec.startswith("npz:"):
         return load_episodes_npz(spec[len("npz:"):])
+    if spec.startswith("expert:"):
+        from dadiff_tpu.envs.expert import collect_expert_episodes
+
+        rest = spec.split(":", 1)[1]
+        parts = rest.split(":")
+        opts = dict(p.split("=") for p in parts[1].split(",")) if len(parts) > 1 else {}
+        return collect_expert_episodes(
+            env_name=parts[0],
+            n_episodes=int(opts.get("n", kwargs.pop("n_episodes", 100))),
+            max_steps=int(opts.get("T", kwargs.pop("max_steps", 300))),
+            noise=float(opts.get("noise", kwargs.pop("noise", 0.2))),
+            seed=int(opts.get("seed", kwargs.pop("seed", 0))),
+        )
     if spec.startswith("gym:"):
         rest = spec.split(":", 1)[1]
         parts = rest.split(":")

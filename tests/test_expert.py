@@ -1,0 +1,63 @@
+"""Waypoint expert tests (data-collection subsystem)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dadiff_tpu.envs.expert import WaypointController
+from dadiff_tpu.envs.pointmaze_jax import MAZE_MAPS, PointMazeJax
+
+
+def test_bfs_path_umaze():
+    c = WaypointController(MAZE_MAPS["umaze"])
+    # from bottom-left free cell (3,1) to top-left free cell (1,1): must go
+    # around through col 3 (the U): path length 7 cells
+    path = c._bfs_path((3, 1), (1, 1))
+    assert path[0] == (3, 1) and path[-1] == (1, 1)
+    assert len(path) == 7
+    # every step adjacent + free
+    maze = np.asarray(MAZE_MAPS["umaze"])
+    for (r1, c1), (r2, c2) in zip(path, path[1:]):
+        assert abs(r1 - r2) + abs(c1 - c2) == 1
+        assert maze[r2, c2] == 0
+
+
+def test_bfs_unreachable_falls_back():
+    grid = [[1, 1, 1, 1], [1, 0, 1, 0], [1, 1, 1, 1]]
+    c = WaypointController(grid)
+    path = c._bfs_path((1, 1), (1, 3))
+    assert path == [(1, 3)]
+
+
+def test_cell_xy_roundtrip():
+    c = WaypointController(MAZE_MAPS["umaze"])
+    for cell in [(1, 1), (2, 3), (3, 2)]:
+        xy = c._cell_to_xy(cell)
+        assert c._xy_to_cell(xy) == cell
+
+
+def test_expert_solves_jax_umaze():
+    """The waypoint expert drives the pure-JAX maze to the goal."""
+    env = PointMazeJax(map_name="umaze")
+    state, obs = env.reset(jax.random.PRNGKey(3), batch_size=1)
+    controller = WaypointController(MAZE_MAPS["umaze"])
+    reached = False
+    for _ in range(400):
+        a = controller.get_action(np.asarray(obs[0]))
+        state, obs, reward, done = env.step(state, jnp.asarray(a)[None])
+        if float(jnp.linalg.norm(state.pos - state.goal)) <= 0.45:
+            reached = True
+            break
+    assert reached, (
+        f"expert failed: pos={np.asarray(state.pos)}, goal={np.asarray(state.goal)}"
+    )
+
+
+def test_expert_spec_in_dispatcher():
+    from dadiff_tpu.datasets.sources import load_episodes
+
+    eps = load_episodes("expert:PointMaze_UMaze-v3:n=2,T=100")
+    assert len(eps) == 2
+    assert eps[0]["observations"].shape[-1] == 6
+    assert eps[0]["actions"].shape[-1] == 2
