@@ -37,6 +37,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from dadiff_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from dadiff_tpu.guides.sampling import conditions_for_initial_obs, make_sampler
     from dadiff_tpu.models.diffusion import GaussianDiffusion
     from dadiff_tpu.models.temporal_unet import TemporalUnet

@@ -20,11 +20,26 @@ import numpy as np
 
 def _select_device(device: str) -> None:
     """--device {tpu,cpu}: JAX_PLATFORMS is pinned by some environments, so
-    override via config after import."""
-    if device == "cpu":
-        import jax
+    override via config after import. Also enables the persistent XLA
+    compilation cache — first compiles of the fused train step can take
+    minutes on remote-compile TPU setups; reruns then hit the cache."""
+    import jax
 
+    if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    enable_compilation_cache()
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "DADIFF_COMPILATION_CACHE",
+        os.path.expanduser("~/.cache/dadiff_tpu/xla"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _mesh(n_dp: int):

@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -168,6 +169,81 @@ def p_sample_loop(
     return x
 
 
+def ddim_sample_loop(
+    apply_fn: ModelApply,
+    params,
+    schedule: DiffusionSchedule,
+    rng: jax.Array,
+    shape: Tuple[int, ...],
+    *,
+    sampling_timesteps: int,
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+    predict_epsilon: bool = True,
+    init_noise: Optional[jax.Array] = None,
+) -> jax.Array:
+    """DDIM sampling (Song et al. 2020) over a strided timestep subsequence —
+    the principled fast-sampling path the reference lacks (its eval shortens
+    the chain by overwriting ``n_timesteps``, evaluate.py:352, which changes
+    the marginal the model was trained for; DDIM keeps it).
+
+    eta=0 gives deterministic DDIM; eta=1 recovers DDPM-like stochasticity
+    on the subsequence. One ``lax.scan``, like everything else here.
+    """
+    n = schedule.n_timesteps
+    s = int(sampling_timesteps)
+    if s > n:
+        raise ValueError(f"sampling_timesteps ({s}) must be <= {n}")
+    # strided subsequence tau_1 < ... < tau_S (inclusive of 0)
+    taus = jnp.asarray(
+        np.unique(np.linspace(0, n - 1, s).round().astype(np.int64))[::-1].copy(),
+        dtype=jnp.int32,
+    )
+    taus_prev = jnp.concatenate([taus[1:], jnp.array([-1], jnp.int32)])
+
+    batch_size = shape[0]
+    rng, init_key, noise_key = jax.random.split(rng, 3)
+    x = jax.random.normal(init_key, shape) if init_noise is None else init_noise
+    step_noise = jax.random.normal(noise_key, (taus.shape[0],) + shape)
+
+    acp = schedule.alphas_cumprod
+
+    def body(x, inputs):
+        t, t_prev, noise = inputs
+        t_batch = jnp.full((batch_size,), t, dtype=jnp.int32)
+        model_out = apply_fn(params, x, t_batch)
+
+        if predict_epsilon:
+            eps = model_out
+            x0 = predict_start_from_noise(schedule, x, t_batch, eps)
+        else:
+            x0 = model_out
+            # recover eps implied by x0
+            eps = (
+                extract(schedule.sqrt_recip_alphas_cumprod, t_batch, x.ndim) * x - x0
+            ) / extract(schedule.sqrt_recipm1_alphas_cumprod, t_batch, x.ndim)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+            eps = (
+                extract(schedule.sqrt_recip_alphas_cumprod, t_batch, x.ndim) * x - x0
+            ) / extract(schedule.sqrt_recipm1_alphas_cumprod, t_batch, x.ndim)
+
+        a_t = acp[t]
+        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+        sigma = (
+            eta
+            * jnp.sqrt((1 - a_prev) / (1 - a_t))
+            * jnp.sqrt(1 - a_t / a_prev)
+        )
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+        x_next = jnp.sqrt(a_prev) * x0 + dir_xt
+        x_next = x_next + jnp.where(t_prev >= 0, sigma, 0.0) * noise
+        return x_next, None
+
+    x, _ = lax.scan(body, x, (taus, taus_prev, step_noise))
+    return x
+
+
 def diffusion_loss(
     apply_fn: ModelApply,
     params,
@@ -283,6 +359,24 @@ class GaussianDiffusion:
             predict_epsilon=self.predict_epsilon,
             init_noise=init_noise,
             step_noise=step_noise,
+        )
+
+    def ddim_sample_loop(
+        self,
+        params,
+        rng: jax.Array,
+        shape: Tuple[int, ...],
+        *,
+        sampling_timesteps: int,
+        eta: float = 0.0,
+        init_noise: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        return ddim_sample_loop(
+            self.apply, params, self.schedule, rng, shape,
+            sampling_timesteps=sampling_timesteps, eta=eta,
+            clip_denoised=self.clip_denoised,
+            predict_epsilon=self.predict_epsilon,
+            init_noise=init_noise,
         )
 
     def loss(
