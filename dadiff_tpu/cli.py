@@ -284,6 +284,114 @@ def train_main(argv=None) -> str:
 
 
 # ===========================================================================
+# value-function training (capability the reference declares but never
+# implements: train.py:294-298 "Value guidance not yet implemented")
+# ===========================================================================
+
+def train_value_main(argv=None) -> str:
+    p = argparse.ArgumentParser(description="Train a trajectory value function")
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--horizon", type=int, default=32)
+    p.add_argument("--normalizer", type=str, default="LimitsNormalizer")
+    p.add_argument("--discount", type=float, default=0.99)
+    p.add_argument("--dim", type=int, default=32)
+    p.add_argument("--dim-mults", type=int, nargs="+", default=[1, 2, 4])
+    p.add_argument("--n-timesteps", type=int, default=100,
+                   help="diffusion schedule the value net is trained against")
+    p.add_argument("--beta-schedule", type=str, default="cosine")
+    p.add_argument("--n-epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--log-dir", type=str, default="./logs/values")
+    p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+    _select_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dadiff_tpu.datasets.sequence import SequenceDataset, create_dataloader, \
+        prefetch_to_device
+    from dadiff_tpu.models.value_net import ValueNet, value_loss
+    from dadiff_tpu.ops.schedules import make_schedule
+
+    dataset = SequenceDataset(
+        dataset_name=args.dataset, horizon=args.horizon,
+        normalizer=args.normalizer, include_returns=True,
+        discount=args.discount,
+    )
+    loader = create_dataloader(dataset, batch_size=args.batch_size, seed=args.seed)
+    schedule = make_schedule(args.n_timesteps, args.beta_schedule)
+
+    vnet = ValueNet(
+        transition_dim=dataset.transition_dim, dim=args.dim,
+        dim_mults=tuple(args.dim_mults),
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    params = vnet.init_params(rng, args.horizon)
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(
+            lambda pr: value_loss(vnet, pr, schedule, key, batch)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    for epoch in range(args.n_epochs):
+        losses = []
+        for batch in prefetch_to_device(iter(loader)):
+            rng, key = jax.random.split(rng)
+            params, opt_state, loss = step(params, opt_state, batch, key)
+            losses.append(loss)
+        print(f"Epoch {epoch + 1}: value_loss={float(jnp.mean(jnp.stack(losses))):.4f}")
+
+    from dadiff_tpu.io.checkpoints import save_native
+
+    base = os.path.join(args.log_dir, "value_final")
+    save_native(base, {"params": jax.device_get(params)}, config={
+        "transition_dim": dataset.transition_dim,
+        "dim": args.dim,
+        "dim_mults": list(args.dim_mults),
+        "horizon": args.horizon,
+        "n_timesteps": args.n_timesteps,
+        "beta_schedule": args.beta_schedule,
+        "returns_mean": dataset.returns_mean,
+        "returns_std": dataset.returns_std,
+    })
+    print(f"value checkpoint: {base}.orbax")
+    return base
+
+
+def load_value_checkpoint(base: str):
+    """Returns (value_net, params) from a train_value_main checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dadiff_tpu.io.checkpoints import restore_native
+    from dadiff_tpu.models.value_net import ValueNet
+
+    # restore metadata first to build the template
+    import json as _json
+
+    with open(base + ".meta.json") as f:
+        cfg = _json.load(f)["config"]
+    vnet = ValueNet(
+        transition_dim=cfg["transition_dim"], dim=cfg["dim"],
+        dim_mults=tuple(cfg["dim_mults"]),
+    )
+    template = {"params": vnet.init_params(jax.random.PRNGKey(0), cfg["horizon"])}
+    state, _ = restore_native(base, template)
+    return vnet, state["params"]
+
+
+# ===========================================================================
 # evaluate
 # ===========================================================================
 
@@ -293,8 +401,11 @@ def build_eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--env", type=str, default="PointMaze_UMaze-v3")
     p.add_argument("--n-episodes", type=int, default=10)
     p.add_argument("--policy-type", type=str, default="mpc",
-                   choices=["guided", "mpc", "dynamics-aware"])
+                   choices=["guided", "mpc", "dynamics-aware", "value-guided"])
     p.add_argument("--action-horizon", type=int, default=16)
+    p.add_argument("--value-checkpoint", type=str, default=None,
+                   help="value-function checkpoint base path (for value-guided)")
+    p.add_argument("--guide-weight", type=float, default=1.0)
     p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
     p.add_argument("--render", type=str, default="none",
                    choices=["none", "human", "video"])
@@ -406,6 +517,21 @@ def evaluate_main(argv=None) -> dict:
     elif args.policy_type == "mpc":
         policy = MPCPolicy(
             diffusion, dataset.normalizer, params=params,
+            action_horizon=args.action_horizon,
+            sampling_timesteps=sampling_timesteps, seed=args.seed,
+        )
+    elif args.policy_type == "value-guided":
+        from dadiff_tpu.guides.policies import ValueGuidedPolicy
+        from dadiff_tpu.models.value_net import make_value_guide_fn
+
+        if not args.value_checkpoint:
+            raise SystemExit("value-guided requires --value-checkpoint")
+        vnet, vparams = load_value_checkpoint(args.value_checkpoint)
+        policy = ValueGuidedPolicy(
+            diffusion, dataset.normalizer,
+            trajectory_value_fn=make_value_guide_fn(vnet, vparams),
+            params=params,
+            guide_weight=args.guide_weight,
             action_horizon=args.action_horizon,
             sampling_timesteps=sampling_timesteps, seed=args.seed,
         )

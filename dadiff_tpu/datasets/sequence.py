@@ -46,6 +46,8 @@ class SequenceDataset:
         use_padding: bool = True,
         episodes: Optional[List[Episode]] = None,
         max_episodes: Optional[int] = None,
+        include_returns: bool = False,
+        discount: float = 0.99,
         **source_kwargs,
     ):
         if episodes is None:
@@ -69,7 +71,11 @@ class SequenceDataset:
         # Build one packed interleaved arena: per episode, T rows of
         # [obs_t ‖ act_t] (the final observation has no action and is dropped,
         # matching the interleaved layout used throughout the reference).
+        self.include_returns = include_returns
+        self.discount = discount
+
         segments: List[np.ndarray] = []
+        rtg_segments: List[np.ndarray] = []
         window_starts: List[int] = []
         offset = 0
         for ep in episodes:
@@ -78,13 +84,33 @@ class SequenceDataset:
             T = min(len(act), max_path_length)
             obs, act = obs[:T], act[:T]
             seg = np.concatenate([obs, act], axis=-1)
+
+            rtg = None
+            if include_returns:
+                rewards = np.asarray(
+                    ep.get("rewards", np.zeros(T)), dtype=np.float64
+                )[:T]
+                # discounted return-to-go per row (Diffuser-style value target)
+                rtg = np.zeros(T, dtype=np.float64)
+                acc = 0.0
+                for t in range(T - 1, -1, -1):
+                    acc = rewards[t] + discount * acc
+                    rtg[t] = acc
+                rtg = rtg.astype(np.float32)
+
             if T < horizon:
                 if not use_padding or T == 0:
                     continue
                 pad = np.repeat(seg[-1:], horizon - T, axis=0)
                 seg = np.concatenate([seg, pad], axis=0)
+                if rtg is not None:
+                    rtg = np.concatenate(
+                        [rtg, np.repeat(rtg[-1:], horizon - T)], axis=0
+                    )
                 T = horizon
             segments.append(seg)
+            if rtg is not None:
+                rtg_segments.append(rtg)
             window_starts.extend(range(offset, offset + T - horizon + 1))
             offset += T
         if not segments:
@@ -95,6 +121,16 @@ class SequenceDataset:
 
         self._arena = np.concatenate(segments, axis=0)  # (N, transition_dim)
         self._starts = np.asarray(window_starts, dtype=np.int64)
+
+        self._returns = None
+        self.returns_mean = self.returns_std = None
+        if include_returns:
+            rtg_all = np.concatenate(rtg_segments, axis=0)
+            self.returns_mean = float(rtg_all.mean())
+            self.returns_std = float(rtg_all.std() + 1e-6)
+            self._returns = (
+                (rtg_all - self.returns_mean) / self.returns_std
+            ).astype(np.float32)
 
         self.normalizer = DatasetNormalizer(
             self._arena[:, : self.observation_dim],
@@ -111,12 +147,18 @@ class SequenceDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         s = self._starts[idx]
-        return {"conditions": self._arena[s : s + self.horizon]}
+        item = {"conditions": self._arena[s : s + self.horizon]}
+        if self._returns is not None:
+            item["returns"] = self._returns[s]
+        return item
 
     def get_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         """Vectorized window gather: (B, H, transition_dim) in one take."""
         rows = self._starts[idxs][:, None] + np.arange(self.horizon)[None, :]
-        return {"conditions": self._arena[rows]}
+        batch = {"conditions": self._arena[rows]}
+        if self._returns is not None:
+            batch["returns"] = self._returns[self._starts[idxs]]
+        return batch
 
 
 class DataLoader:

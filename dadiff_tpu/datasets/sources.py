@@ -18,7 +18,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
-Episode = Dict[str, np.ndarray]
+Episode = Dict[str, np.ndarray]  # observations (T+1,d), actions (T,m), rewards? (T,)
 
 
 # ---------------------------------------------------------------------------
@@ -98,12 +98,13 @@ def load_minari_episodes(
         if max_episodes is not None and i >= max_episodes:
             break
         obs = _flatten_episode_observations(ep.observations, include_goal)
-        episodes.append(
-            {
-                "observations": obs.astype(np.float32),
-                "actions": np.asarray(ep.actions, dtype=np.float32),
-            }
-        )
+        episode: Episode = {
+            "observations": obs.astype(np.float32),
+            "actions": np.asarray(ep.actions, dtype=np.float32),
+        }
+        if getattr(ep, "rewards", None) is not None:
+            episode["rewards"] = np.asarray(ep.rewards, dtype=np.float32)
+        episodes.append(episode)
     return episodes
 
 
@@ -131,21 +132,23 @@ def collect_gym_episodes(
     for ep_idx in range(n_episodes):
         obs, _ = env.reset(seed=seed + ep_idx)
         obs_list = [flatten_observation(obs, include_goal)]
-        act_list = []
+        act_list, rew_list = [], []
         for _ in range(max_steps):
             if policy is None:
                 action = env.action_space.sample()
             else:
                 action = policy(obs)
-            obs, _, terminated, truncated, _ = env.step(action)
+            obs, reward, terminated, truncated, _ = env.step(action)
             obs_list.append(flatten_observation(obs, include_goal))
             act_list.append(np.asarray(action, dtype=np.float32))
+            rew_list.append(float(reward))
             if terminated or truncated:
                 break
         episodes.append(
             {
                 "observations": np.stack(obs_list).astype(np.float32),
                 "actions": np.stack(act_list).astype(np.float32),
+                "rewards": np.asarray(rew_list, dtype=np.float32),
             }
         )
     env.close()
@@ -181,18 +184,20 @@ def generate_synthetic_episodes(
             np.float32
         )
         goal = rng.uniform(-3, 3, 2).astype(np.float32)
-        obs_list, act_list = [], []
+        obs_list, act_list, rew_list = [], [], []
         for _ in range(episode_len):
             obs_list.append(np.concatenate([x, goal]))
             u = 1.2 * (goal - x[:2]) - 1.5 * x[2:]  # PD toward goal
             u = np.clip(u + rng.normal(0, 0.3, 2), -1, 1).astype(np.float32)
             act_list.append(u)
             x = A @ x + B @ u
+            rew_list.append(np.exp(-np.linalg.norm(x[:2] - goal)))  # dense reward
         obs_list.append(np.concatenate([x, goal]))
         episodes.append(
             {
                 "observations": np.stack(obs_list).astype(np.float32),
                 "actions": np.stack(act_list).astype(np.float32),
+                "rewards": np.asarray(rew_list, dtype=np.float32),
             }
         )
     return episodes
@@ -204,6 +209,8 @@ def save_episodes_npz(path: str, episodes: Sequence[Episode]) -> None:
     for i, ep in enumerate(episodes):
         arrays[f"obs_{i}"] = ep["observations"]
         arrays[f"act_{i}"] = ep["actions"]
+        if "rewards" in ep:
+            arrays[f"rew_{i}"] = ep["rewards"]
     arrays["n_episodes"] = np.asarray(len(episodes))
     np.savez_compressed(path, **arrays)
 
@@ -211,10 +218,13 @@ def save_episodes_npz(path: str, episodes: Sequence[Episode]) -> None:
 def load_episodes_npz(path: str) -> List[Episode]:
     data = np.load(path)
     n = int(data["n_episodes"])
-    return [
-        {"observations": data[f"obs_{i}"], "actions": data[f"act_{i}"]}
-        for i in range(n)
-    ]
+    episodes = []
+    for i in range(n):
+        ep = {"observations": data[f"obs_{i}"], "actions": data[f"act_{i}"]}
+        if f"rew_{i}" in data:
+            ep["rewards"] = data[f"rew_{i}"]
+        episodes.append(ep)
+    return episodes
 
 
 def load_episodes(spec: str, **kwargs) -> List[Episode]:

@@ -152,19 +152,28 @@ class ValueGuidedPolicy(GuidedPolicy):
         self,
         diffusion,
         normalizer,
-        value_fn: Callable[[jax.Array], jax.Array],
+        value_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
         params=None,
         guide_weight: float = 1.0,
         action_horizon: Optional[int] = None,
+        trajectory_value_fn: Optional[Callable] = None,
         **kwargs,
     ):
+        """Two guide flavors:
+        value_fn(obs (B,H,obs_dim)) -> (B,H) per-step values, summed over the
+            horizon (reference policies.py:264-268 semantics);
+        trajectory_value_fn(x (B,H,D), t (B,)) -> (B,) — the Diffuser-style
+            noisy-trajectory value net (models/value_net.py)."""
         obs_dim = diffusion.observation_dim
 
-        def guide_fn(x, t):
-            # value over the observation slice, summed over horizon
-            # (reference policies.py:264-268)
-            obs = x[:, :, :obs_dim]
-            return jnp.sum(value_fn(obs), axis=1)
+        if trajectory_value_fn is not None:
+            guide_fn = trajectory_value_fn
+        elif value_fn is not None:
+            def guide_fn(x, t):
+                obs = x[:, :, :obs_dim]
+                return jnp.sum(value_fn(obs), axis=1)
+        else:
+            raise ValueError("provide value_fn or trajectory_value_fn")
 
         super().__init__(
             diffusion, normalizer, params=params, guide_fn=guide_fn,
