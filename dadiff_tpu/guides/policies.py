@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from dadiff_tpu.datasets.sources import flatten_observation
 from dadiff_tpu.guides.sampling import (
     ProjectionSpec,
-    conditions_for_initial_obs,
+    conditions_for_initial_obs_np,
     make_sampler,
 )
 from dadiff_tpu.models.diffusion import GaussianDiffusion
@@ -98,9 +98,8 @@ class GuidedPolicy:
         observation. Returns the normalized trajectory (1, H, D)."""
         obs = self._process_observation(observation)
         normed_obs = self.normalizer.normalize_observations(obs)
-        conditions = conditions_for_initial_obs(
-            jnp.asarray(normed_obs), self.observation_dim, self.horizon,
-            self.transition_dim,
+        conditions = conditions_for_initial_obs_np(
+            normed_obs, self.observation_dim, self.horizon, self.transition_dim
         )
         self._rng, key = jax.random.split(self._rng)
         traj = self._plan(self.params, key, conditions, self._P, self._stats)

@@ -50,7 +50,7 @@ def conditions_for_initial_obs(
     """Condition row 0 on the current observation, action zeroed — exactly the
     reference's initial condition (policies.py:212-214 zeroes the action slot
     too; that zeroed action is later unnormalized and executed, a quirk we
-    preserve for parity)."""
+    preserve for parity). Traceable (usable inside jit)."""
     normed_obs = jnp.atleast_2d(normed_obs)  # (B, obs_dim)
     batch = normed_obs.shape[0]
     row = jnp.zeros((batch, transition_dim), jnp.float32)
@@ -58,6 +58,24 @@ def conditions_for_initial_obs(
     values = jnp.zeros((batch, horizon, transition_dim), jnp.float32)
     values = values.at[:, 0, :].set(row)
     mask = jnp.zeros((horizon,), bool).at[0].set(True)
+    return Conditions(values=values, mask=mask)
+
+
+def conditions_for_initial_obs_np(
+    normed_obs, observation_dim: int, horizon: int, transition_dim: int
+) -> Conditions:
+    """Host-side (numpy) twin of :func:`conditions_for_initial_obs` for the
+    policy replan path: building these tiny arrays with device ops costs
+    several host<->device round trips per replan on tunneled TPU setups; as
+    numpy they ride along with the single jit call."""
+    import numpy as np
+
+    normed_obs = np.atleast_2d(np.asarray(normed_obs, np.float32))
+    batch = normed_obs.shape[0]
+    values = np.zeros((batch, horizon, transition_dim), np.float32)
+    values[:, 0, :observation_dim] = normed_obs
+    mask = np.zeros((horizon,), bool)
+    mask[0] = True
     return Conditions(values=values, mask=mask)
 
 
