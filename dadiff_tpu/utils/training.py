@@ -182,6 +182,9 @@ class Trainer:
 
         os.makedirs(log_dir, exist_ok=True)
         self._log_file = open(os.path.join(log_dir, "training.log"), "a")
+        # structured metrics stream (observability upgrade over the
+        # reference's text-only training.log, training.py:269-273)
+        self._metrics_file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
 
         self._rng = jax.random.PRNGKey(seed)
         if params is None:
@@ -256,6 +259,13 @@ class Trainer:
             print(line)
             self._log_file.write(line + "\n")
             self._log_file.flush()
+            self._metrics_file.write(json.dumps({
+                "epoch": epoch + 1,
+                "step": int(self.state.step),
+                "steps_per_sec": round(sps, 3),
+                **{k: round(v, 6) for k, v in summary.items()},
+            }) + "\n")
+            self._metrics_file.flush()
             for k, v in summary.items():
                 history.setdefault(k, []).append(v)
 

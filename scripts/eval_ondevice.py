@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Fully on-device batched evaluation (the BASELINE.json north-star loop).
+
+Plans, actions, and environment physics all execute inside one jitted
+program over a batch of pure-JAX PointMaze environments — zero host syncs
+per episode. Reports success rate, mean reward, and episodes/hour.
+
+    python scripts/eval_ondevice.py --checkpoint logs/.../checkpoint_step_N.pt \
+        --dataset npz:data/pointmaze_umaze_expert.npz --batch 256 \
+        --n-replans 16 --action-horizon 16 [--projection]
+"""
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="On-device batched evaluation")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--dataset", type=str, required=True,
+                   help="dataset spec for the normalizer")
+    p.add_argument("--map", type=str, default="umaze",
+                   choices=["umaze", "open", "medium", "large"])
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--n-replans", type=int, default=16)
+    p.add_argument("--action-horizon", type=int, default=16)
+    p.add_argument("--sampling-timesteps", type=int, default=None)
+    p.add_argument("--projection", action="store_true",
+                   help="dynamics-aware per-step projection in the plan scan")
+    p.add_argument("--projection-schedule", type=str, default="noise_schedule")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
+    args = p.parse_args(argv)
+
+    from dadiff_tpu.cli import _select_device, load_model
+
+    _select_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dadiff_tpu.envs.pointmaze_jax import PointMazeJax
+    from dadiff_tpu.envs.rollout import make_ondevice_evaluator
+    from dadiff_tpu.guides.sampling import ProjectionSpec
+    from dadiff_tpu.ops.projection import NormStats
+
+    diffusion, params, dataset = load_model(args.checkpoint, args.dataset)
+    env = PointMazeJax(map_name=args.map)
+    stats = NormStats.from_normalizer(dataset.normalizer)
+
+    projection = None
+    P = None
+    if args.projection:
+        from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
+        from dadiff_tpu.dynamics.registry import get_dynamics_for_env
+        from dadiff_tpu.datasets.sources import load_episodes
+
+        episodes = (
+            load_episodes(args.dataset)
+            if args.dataset.startswith(("synthetic:", "npz:", "gym:", "expert:"))
+            else None
+        )
+        A, B, state_dim, action_dim = get_dynamics_for_env(
+            "PointMaze_UMaze-v3", dataset_name=None if episodes else args.dataset,
+            episodes=episodes,
+        )
+        P = jnp.asarray(
+            ProjectionMatrixBuilder(A, B, state_dim, action_dim)
+            .get_projection_matrix(diffusion.horizon)
+        )
+        projection = ProjectionSpec(
+            state_dim=state_dim, schedule=args.projection_schedule
+        )
+
+    evaluator = make_ondevice_evaluator(
+        diffusion, env,
+        action_horizon=args.action_horizon,
+        n_replans=args.n_replans,
+        sampling_timesteps=args.sampling_timesteps,
+        projection=projection,
+    )
+
+    # compile
+    t0 = time.time()
+    metrics, _ = evaluator(params, jax.random.PRNGKey(args.seed), stats,
+                           args.batch, P)
+    jax.block_until_ready(metrics)
+    compile_s = time.time() - t0
+
+    # timed run
+    t0 = time.time()
+    metrics, _ = evaluator(params, jax.random.PRNGKey(args.seed + 1), stats,
+                           args.batch, P)
+    jax.block_until_ready(metrics)
+    run_s = time.time() - t0
+
+    episodes_per_hour = args.batch / run_s * 3600
+    out = {
+        "mode": "on-device plan->step->replan",
+        "projection": bool(args.projection),
+        "batch": args.batch,
+        "env_steps_per_episode": args.n_replans * args.action_horizon,
+        "success_rate": float(metrics.success_rate),
+        "mean_reward": float(metrics.mean_reward),
+        "mean_final_distance": float(metrics.mean_final_distance),
+        "wallclock_s": round(run_s, 2),
+        "episodes_per_hour": round(episodes_per_hour, 0),
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()
