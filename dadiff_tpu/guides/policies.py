@@ -48,6 +48,7 @@ class GuidedPolicy:
         sampling_timesteps: Optional[int] = None,
         seed: int = 0,
         projection: Optional[ProjectionSpec] = None,
+        skip_conditioned_action: bool = False,
     ):
         self.diffusion = diffusion
         self.normalizer = normalizer
@@ -63,6 +64,11 @@ class GuidedPolicy:
         # Action buffering / rolling-horizon MPC (reference :44-46)
         self.action_horizon = action_horizon if action_horizon is not None else 1
         self.action_buffer: List[np.ndarray] = []
+        # Reference quirk (policies.py:181-191): the buffer starts at t=0,
+        # whose action was zeroed by conditioning — so the first executed
+        # action of every replan is the dataset-mean action. True by default
+        # for parity; set skip_conditioned_action=True to start at t=1.
+        self.skip_conditioned_action = skip_conditioned_action
 
         self._rng = jax.random.PRNGKey(seed)
         self._plan = make_sampler(
@@ -114,7 +120,8 @@ class GuidedPolicy:
         """
         traj = trajectory[0]
         a0, a1 = self.observation_dim, self.observation_dim + self.action_dim
-        for t in range(0, min(self.action_horizon + 1, self.horizon)):
+        start = 1 if self.skip_conditioned_action else 0
+        for t in range(start, min(self.action_horizon + 1, self.horizon)):
             normed = traj[t, a0:a1]
             action = self.normalizer.unnormalize_actions(normed.reshape(1, -1))
             self.action_buffer.append(np.ravel(action))

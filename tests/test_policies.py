@@ -239,3 +239,15 @@ def test_policy_determinism_across_instances(diffusion, params, normalizer):
     a1 = p1.get_action(np.zeros(OBS_DIM))
     a2 = p2.get_action(np.zeros(OBS_DIM))
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_skip_conditioned_action_flag(diffusion, params, normalizer):
+    """skip_conditioned_action=True starts the buffer at t=1 (no mean-action
+    quirk); default preserves reference behavior."""
+    policy = GuidedPolicy(
+        diffusion, normalizer, params=params, skip_conditioned_action=True
+    )
+    action = policy.get_action(np.zeros(OBS_DIM))
+    # first action is now a planned one, not the unnormalized zero
+    assert not np.allclose(action, normalizer.action_mean, atol=1e-5)
+    assert len(policy.action_buffer) == 0  # buffered t=1 only (action_horizon=1)
