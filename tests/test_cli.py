@@ -1,0 +1,102 @@
+"""CLI end-to-end tests on CPU (tiny configs).
+
+These exercise the same surfaces a user drives: train_main -> checkpoint ->
+evaluate-style loading; config YAML overlay; value training.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dadiff_tpu.cli import (
+    build_train_parser,
+    load_model,
+    train_main,
+    train_value_main,
+)
+from dadiff_tpu.utils.config import apply_config_defaults, load_experiment_config
+
+
+def test_train_main_end_to_end(tmp_path):
+    log_dir = train_main([
+        "--dataset", "synthetic:pointmaze:n=8,T=30",
+        "--horizon", "8", "--dim", "8", "--dim-mults", "1", "2",
+        "--n-timesteps", "10", "--n-epochs", "1", "--batch-size", "32",
+        "--warmup-steps", "5", "--log-dir", str(tmp_path),
+        "--device", "cpu", "--save-freq", "0",
+    ])
+    files = os.listdir(log_dir)
+    assert "config.json" in files and "final_config.json" in files
+    assert any(f.endswith(".pt") for f in files)
+    assert any(f.endswith(".orbax") for f in files)
+    assert "metrics.jsonl" in files
+
+    # the exported checkpoint loads through the eval path
+    pt = next(f for f in files if f.endswith(".pt"))
+    diffusion, params, dataset = load_model(
+        os.path.join(log_dir, pt), "synthetic:pointmaze:n=8,T=30"
+    )
+    assert diffusion.horizon == 8
+    assert dataset.transition_dim == 8
+
+    with open(os.path.join(log_dir, "final_config.json")) as f:
+        final = json.load(f)
+    assert final["loss_components"] == ["diffusion"]
+
+
+def test_train_main_with_projection_loss(tmp_path):
+    log_dir = train_main([
+        "--dataset", "synthetic:pointmaze:n=8,T=30",
+        "--horizon", "8", "--dim", "8", "--dim-mults", "1", "2",
+        "--n-timesteps", "10", "--n-epochs", "1", "--batch-size", "32",
+        "--projection-weight", "0.1",
+        "--log-dir", str(tmp_path), "--device", "cpu", "--save-freq", "0",
+    ])
+    with open(os.path.join(log_dir, "final_config.json")) as f:
+        final = json.load(f)
+    assert final["loss_components"] == ["diffusion", "projection"]
+
+
+def test_yaml_config_overlay(tmp_path):
+    config = tmp_path / "exp.yaml"
+    config.write_text(
+        """
+dataset:
+  name: "synthetic:pointmaze:n=4,T=20"
+  horizon: 8
+model:
+  dim: 16
+  dim_mults: [1, 2]
+training:
+  batch_size: 16
+  n_epochs: 3
+"""
+    )
+    parser = build_train_parser()
+    args = parser.parse_args(["--config", str(config), "--dim", "32"])
+    apply_config_defaults(args, load_experiment_config(str(config)), parser)
+    assert args.dataset == "synthetic:pointmaze:n=4,T=20"
+    assert args.horizon == 8
+    assert args.batch_size == 16
+    assert args.n_epochs == 3
+    assert args.dim == 32  # explicit CLI flag beats config
+
+
+def test_train_value_main(tmp_path):
+    base = train_value_main([
+        "--dataset", "synthetic:pointmaze:n=8,T=30",
+        "--horizon", "8", "--dim", "8", "--dim-mults", "1", "2",
+        "--n-timesteps", "10", "--n-epochs", "1", "--batch-size", "32",
+        "--log-dir", str(tmp_path), "--device", "cpu",
+    ])
+    assert os.path.exists(base + ".orbax")
+    from dadiff_tpu.cli import load_value_checkpoint
+
+    vnet, params = load_value_checkpoint(base)
+    import jax
+    import jax.numpy as jnp
+
+    v = vnet.apply({"params": params}, jnp.zeros((2, 8, 8)), jnp.zeros(2, jnp.int32))
+    assert v.shape == (2,)
