@@ -80,10 +80,20 @@ class PointMazeState(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class PointMazeJax:
-    """Batched double-integrator point maze (static config; methods pure)."""
+    """Batched point-mass maze (static config; methods pure).
+
+    Physics defaults are sysID-calibrated to the real gymnasium-robotics
+    PointMaze (least-squares fit on expert transitions, R^2 > 0.99):
+        v' = damping * v + vel_gain * a      (then clipped to ±5)
+        p' = p + pos_dt * v'
+    Set damping=1, vel_gain=dt, pos_dt=dt for the textbook double integrator
+    the reference linearizes with (extractor.py:93-133).
+    """
 
     map_name: str = "umaze"
-    dt: float = 0.1
+    pos_dt: float = 0.0099
+    vel_gain: float = 0.222
+    damping: float = 0.9885
     reward_type: str = "sparse"  # 'sparse' | 'dense'
     continuing_task: bool = True
     max_episode_steps: int = 1000
@@ -158,18 +168,22 @@ class PointMazeJax:
     ) -> Tuple[PointMazeState, jax.Array, jax.Array, jax.Array]:
         """One physics step. Returns (state, obs, reward, done)."""
         a = jnp.clip(action, -1.0, 1.0)
-        vel = jnp.clip(state.vel + a * self.dt, -VELOCITY_LIMIT, VELOCITY_LIMIT)
+        vel = jnp.clip(
+            self.damping * state.vel + a * self.vel_gain,
+            -VELOCITY_LIMIT,
+            VELOCITY_LIMIT,
+        )
 
         # axis-separated wall resolution: blocked axes stop (vel zeroed)
         pos_x_try = state.pos + jnp.stack(
-            [vel[..., 0] * self.dt, jnp.zeros_like(vel[..., 1])], axis=-1
+            [vel[..., 0] * self.pos_dt, jnp.zeros_like(vel[..., 1])], axis=-1
         )
         hit_x = self._is_wall(pos_x_try)
         pos_x = jnp.where(hit_x[..., None], state.pos, pos_x_try)
         vel = vel.at[..., 0].set(jnp.where(hit_x, 0.0, vel[..., 0]))
 
         pos_y_try = pos_x + jnp.stack(
-            [jnp.zeros_like(vel[..., 0]), vel[..., 1] * self.dt], axis=-1
+            [jnp.zeros_like(vel[..., 0]), vel[..., 1] * self.pos_dt], axis=-1
         )
         hit_y = self._is_wall(pos_y_try)
         pos = jnp.where(hit_y[..., None], pos_x, pos_y_try)

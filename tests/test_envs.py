@@ -38,11 +38,13 @@ def test_step_moves_toward_acceleration(env):
     # zero action: position unchanged (v=0)
     s2, obs, r, d = env.step(state, jnp.zeros((4, 2)))
     np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(state.pos), atol=1e-6)
-    # push +x from rest in open space: moves +x by v*dt = (1*0.1)*0.1
+    # push +x from rest in open space: moves by vel_gain * pos_dt
     s3, *_ = env.step(state, jnp.tile(jnp.array([[1.0, 0.0]]), (4, 1)))
     moved = np.asarray(s3.pos[:, 0] - state.pos[:, 0])
     blocked = np.asarray(env._is_wall(state.pos + jnp.asarray([0.11, 0.0])))
-    np.testing.assert_allclose(moved[~blocked], 0.01, atol=1e-6)
+    np.testing.assert_allclose(
+        moved[~blocked], env.vel_gain * env.pos_dt, atol=1e-6
+    )
 
 
 def test_velocity_clipped(env):
@@ -64,7 +66,7 @@ def test_walls_block_motion(env):
         done=jnp.zeros((1,), bool),
     )
     assert not bool(env._is_wall(state.pos).any())  # start is free
-    for _ in range(30):
+    for _ in range(120):
         state, obs, r, d = env.step(state, jnp.array([[1.0, 0.0]]))
     # stopped at the border wall, never inside it
     assert not bool(env._is_wall(state.pos).any())
