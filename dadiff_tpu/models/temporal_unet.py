@@ -86,16 +86,38 @@ class ConvTranspose1d(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class PallasGroupNormMish(nn.Module):
+    """GroupNorm+Mish via the fused Pallas kernel (ops/pallas_kernels.py).
+
+    Parameter names/shapes match nn.GroupNorm ('scale'/'bias'), so checkpoints
+    are interchangeable with the XLA path.
+    """
+
+    n_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from dadiff_tpu.ops.pallas_kernels import group_norm_mish
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return group_norm_mish(x.astype(jnp.float32), scale, bias, self.n_groups)
+
+
 class Conv1dBlock(nn.Module):
     """Conv1d -> GroupNorm(8) -> Mish (reference temporal_unet.py:57-76).
 
     GroupNorm statistics run in float32 regardless of activation dtype.
+    With ``use_pallas_norm`` the norm+activation run as one fused Pallas
+    kernel (same params; TPU-only fast path).
     """
 
     out_channels: int
     kernel_size: int = 3
     n_groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -107,6 +129,9 @@ class Conv1dBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        if self.use_pallas_norm:
+            x = PallasGroupNormMish(n_groups=self.n_groups, name="norm")(x)
+            return x.astype(self.dtype)
         x = nn.GroupNorm(
             num_groups=self.n_groups, epsilon=1e-5, dtype=jnp.float32, name="norm"
         )(x)
@@ -120,11 +145,13 @@ class ResidualTemporalBlock(nn.Module):
     out_channels: int
     kernel_size: int = 5
     dtype: jnp.dtype = jnp.float32
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, t_emb: jax.Array) -> jax.Array:
         h = Conv1dBlock(
-            self.out_channels, self.kernel_size, dtype=self.dtype, name="block1"
+            self.out_channels, self.kernel_size, dtype=self.dtype,
+            use_pallas_norm=self.use_pallas_norm, name="block1",
         )(x)
         # time_mlp = Mish -> Dense (reference :97-100)
         te = nn.Dense(self.out_channels, dtype=self.dtype, name="time_dense")(
@@ -132,7 +159,8 @@ class ResidualTemporalBlock(nn.Module):
         )
         h = h + te[:, None, :]
         h = Conv1dBlock(
-            self.out_channels, self.kernel_size, dtype=self.dtype, name="block2"
+            self.out_channels, self.kernel_size, dtype=self.dtype,
+            use_pallas_norm=self.use_pallas_norm, name="block2",
         )(h)
         if x.shape[-1] != self.out_channels:
             res = nn.Conv(self.out_channels, (1,), dtype=self.dtype, name="residual_conv")(x)
@@ -155,6 +183,7 @@ class TemporalUnet(nn.Module):
     kernel_size: int = 5
     time_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    use_pallas_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array) -> jax.Array:
@@ -176,10 +205,12 @@ class TemporalUnet(nn.Module):
         skips = []
         for i, (_, dim_out) in enumerate(in_out):
             x = ResidualTemporalBlock(
-                dim_out, self.kernel_size, dtype=self.dtype, name=f"down_{i}_res1"
+                dim_out, self.kernel_size, dtype=self.dtype,
+                use_pallas_norm=self.use_pallas_norm, name=f"down_{i}_res1",
             )(x, t)
             x = ResidualTemporalBlock(
-                dim_out, self.kernel_size, dtype=self.dtype, name=f"down_{i}_res2"
+                dim_out, self.kernel_size, dtype=self.dtype,
+                use_pallas_norm=self.use_pallas_norm, name=f"down_{i}_res2",
             )(x, t)
             skips.append(x)
             if i < n_levels - 1:
@@ -195,10 +226,12 @@ class TemporalUnet(nn.Module):
         # Bottleneck (reference :177-180).
         mid_dim = dims[-1]
         x = ResidualTemporalBlock(
-            mid_dim, self.kernel_size, dtype=self.dtype, name="mid_block1"
+            mid_dim, self.kernel_size, dtype=self.dtype,
+            use_pallas_norm=self.use_pallas_norm, name="mid_block1",
         )(x, t)
         x = ResidualTemporalBlock(
-            mid_dim, self.kernel_size, dtype=self.dtype, name="mid_block2"
+            mid_dim, self.kernel_size, dtype=self.dtype,
+            use_pallas_norm=self.use_pallas_norm, name="mid_block2",
         )(x, t)
 
         # Decoder (reference :183-191, :229-233): iterates reversed(in_out[1:])
@@ -207,15 +240,20 @@ class TemporalUnet(nn.Module):
         for i, (dim_in, _) in enumerate(reversed(in_out[1:])):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResidualTemporalBlock(
-                dim_in, self.kernel_size, dtype=self.dtype, name=f"up_{i}_res1"
+                dim_in, self.kernel_size, dtype=self.dtype,
+                use_pallas_norm=self.use_pallas_norm, name=f"up_{i}_res1",
             )(x, t)
             x = ResidualTemporalBlock(
-                dim_in, self.kernel_size, dtype=self.dtype, name=f"up_{i}_res2"
+                dim_in, self.kernel_size, dtype=self.dtype,
+                use_pallas_norm=self.use_pallas_norm, name=f"up_{i}_res2",
             )(x, t)
             x = ConvTranspose1d(dim_in, dtype=self.dtype, name=f"up_{i}_upsample")(x)
 
         # Final head (reference :194-197).
-        x = Conv1dBlock(self.dim, self.kernel_size, dtype=self.dtype, name="final_block")(x)
+        x = Conv1dBlock(
+            self.dim, self.kernel_size, dtype=self.dtype,
+            use_pallas_norm=self.use_pallas_norm, name="final_block",
+        )(x)
         x = nn.Conv(self.transition_dim, (1,), dtype=self.dtype, name="final_conv")(x)
         return x.astype(jnp.float32)
 

@@ -50,3 +50,22 @@ def test_bfloat16_activations(rng):
     # params stay f32
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_pallas_norm_flag_same_params_and_outputs(rng):
+    """use_pallas_norm keeps the param tree identical and (on the CPU
+    reference dispatch path) produces identical outputs."""
+    m0 = TemporalUnet(transition_dim=5, dim=8, dim_mults=(1, 2))
+    m1 = TemporalUnet(transition_dim=5, dim=8, dim_mults=(1, 2), use_pallas_norm=True)
+    p0 = m0.init_params(rng, 8)
+    p1 = m1.init_params(rng, 8)
+    paths0 = {jax.tree_util.keystr(k): v.shape
+              for k, v in jax.tree_util.tree_flatten_with_path(p0)[0]}
+    paths1 = {jax.tree_util.keystr(k): v.shape
+              for k, v in jax.tree_util.tree_flatten_with_path(p1)[0]}
+    assert paths0 == paths1
+    x = jax.random.normal(rng, (2, 8, 5))
+    t = jnp.zeros((2,), jnp.int32)
+    out0 = m0.apply({"params": p0}, x, t)
+    out1 = m1.apply({"params": p0}, x, t)  # same weights
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), rtol=1e-5, atol=1e-5)
