@@ -204,3 +204,33 @@ def test_checkpoint_roundtrip(tmp_path, pair):
     # and the exported .pt must load into the *reference* torch model
     state_t = torch.load(path, map_location="cpu", weights_only=False)
     t_diff.load_state_dict(state_t["model_state_dict"])
+
+
+def test_seed_for_seed_sampling_parity(pair):
+    """Bit-level (to f32 tolerance) reproduction of a torch.manual_seed(S)
+    reference sampling run via the torch-RNG replay hooks."""
+    from dadiff_tpu.io.torch_rng import reference_sampling_noise
+
+    t_diff, j_diff, params = pair
+    seed, batch = 1234, 2
+    shape = (batch, HORIZON, TRANSITION)
+
+    # the reference, exactly as shipped (torch global RNG)
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        ref = t_diff.p_sample_loop(shape).numpy()
+
+    # replay: torch.manual_seed also seeds the default generator used by
+    # torch.randn; our replay uses an explicit generator with the same seed,
+    # which torch guarantees to produce the same stream.
+    init, steps = reference_sampling_noise(seed, N_TIMESTEPS, shape)
+    ours = np.asarray(
+        j_diff.p_sample_loop(
+            params,
+            jax.random.PRNGKey(0),  # unused: noise fully injected
+            shape,
+            init_noise=jnp.asarray(init),
+            step_noise=jnp.asarray(steps),
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
