@@ -110,6 +110,11 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="activation dtype for the U-Net")
     p.add_argument("--no-export-pt", action="store_true",
                    help="skip reference-schema .pt checkpoint export")
+    p.add_argument("--resume", action="store_true",
+                   help="auto-resume from the latest checkpoint in the log dir "
+                        "(preemption recovery)")
+    p.add_argument("--skip-nonfinite", action="store_true",
+                   help="skip updates from batches with non-finite gradients")
     return p
 
 
@@ -260,12 +265,18 @@ def train_main(argv=None) -> str:
         mesh=_mesh(args.mesh_dp),
         seed=args.seed,
         export_pt=not args.no_export_pt,
+        skip_nonfinite=args.skip_nonfinite,
     )
     print(f"model parameters: {count_parameters(trainer.state.params):,}")
 
     start_epoch = 0
     if checkpoint is not None and not args.reset_optimizer:
         start_epoch = int(checkpoint.get("epoch", 0))
+    if args.resume:
+        resumed_epoch = trainer.load_latest()
+        if resumed_epoch is not None:
+            start_epoch = resumed_epoch
+            print(f"auto-resumed at step {trainer.global_step} (epoch {start_epoch})")
 
     trainer.train(args.n_epochs, start_epoch=start_epoch)
 

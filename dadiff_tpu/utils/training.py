@@ -101,9 +101,15 @@ def make_train_step(
     use_ema: bool = True,
     ema_decay: float = 0.995,
     donate: bool = True,
+    skip_nonfinite: bool = False,
 ):
     """Build the single fused train step:
-    loss -> grad -> clip -> adam -> EMA, all inside one jit."""
+    loss -> grad -> clip -> adam -> EMA, all inside one jit.
+
+    With ``skip_nonfinite``, a batch producing non-finite gradients skips the
+    update (zero gradients) and reports ``nonfinite=1`` — cheap fault
+    containment for long unattended runs (the reference has none, SURVEY §5).
+    """
 
     def step(state: TrainState, batch, rng):
         def compute(params):
@@ -113,6 +119,12 @@ def make_train_step(
         (loss, metrics), grads = jax.value_and_grad(compute, has_aux=True)(
             state.params
         )
+        metrics = dict(metrics)
+        if skip_nonfinite:
+            from dadiff_tpu.utils.debug import finite_or_skip
+
+            grads, finite = finite_or_skip(grads)
+            metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema_params = state.ema_params
@@ -166,6 +178,7 @@ class Trainer:
         mesh=None,
         seed: int = 0,
         export_pt: bool = True,
+        skip_nonfinite: bool = False,
     ):
         self.diffusion = diffusion
         self.train_loader = train_loader
@@ -210,7 +223,8 @@ class Trainer:
             self.state = jax.device_put(self.state, replicated_sharding(mesh))
 
         self._train_step = make_train_step(
-            loss_fn, self.optimizer, use_ema=use_ema, ema_decay=ema_decay
+            loss_fn, self.optimizer, use_ema=use_ema, ema_decay=ema_decay,
+            skip_nonfinite=skip_nonfinite,
         )
         self.global_step = 0
 
@@ -325,6 +339,24 @@ class Trainer:
         with open(os.path.join(self.log_dir, "config.json"), "w") as f:
             json.dump(self._config_dict(), f, indent=2)
         return base
+
+    def load_latest(self, log_dir: Optional[str] = None) -> Optional[int]:
+        """Preemption recovery: restore the highest-step native checkpoint in
+        ``log_dir`` (None if none exists). New capability vs the reference,
+        which has no failure recovery (SURVEY.md §5)."""
+        import glob
+        import re
+
+        log_dir = log_dir or self.log_dir
+        candidates = []
+        for meta in glob.glob(os.path.join(log_dir, "checkpoint_step_*.meta.json")):
+            m = re.search(r"checkpoint_step_(\d+)\.meta\.json$", meta)
+            if m:
+                candidates.append((int(m.group(1)), meta[: -len(".meta.json")]))
+        if not candidates:
+            return None
+        _, base = max(candidates)
+        return self.load_checkpoint(base)
 
     def load_checkpoint(self, path: str, reset_optimizer: bool = False) -> int:
         """Restore state; returns stored epoch (reference train.py:409-448
