@@ -89,14 +89,12 @@ def _kernel(
         cin = inp.shape[1]
         pad = jnp.zeros((p, cin), jnp.float32)
         xp = jnp.concatenate([pad, inp, pad], axis=0)  # (H+2p, Cin)
-        acc = jnp.dot(
-            jax.lax.dynamic_slice_in_dim(xp, 0, H, 0), w_ref[0],
-            preferred_element_type=jnp.float32,
-        )
+        # k static shifted views -> k MXU matmuls (static slices only;
+        # Mosaic has no dynamic_slice on values)
+        acc = jnp.dot(xp[0:H], w_ref[0], preferred_element_type=jnp.float32)
         for j in range(1, k):
             acc += jnp.dot(
-                jax.lax.dynamic_slice_in_dim(xp, j, H, 0), w_ref[j],
-                preferred_element_type=jnp.float32,
+                xp[j : j + H], w_ref[j], preferred_element_type=jnp.float32
             )
         return acc + b_ref[...]
 
