@@ -435,6 +435,10 @@ def build_eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-ema", action="store_true",
                    help="evaluate the EMA weights if present")
     p.add_argument("--max-steps", type=int, default=1000)
+    p.add_argument("--batched", action="store_true",
+                   help="run all episodes in lockstep with batched replans "
+                        "(~Nx faster; per-env seeding, not the sequential "
+                        "reference protocol)")
     return p
 
 
@@ -578,12 +582,20 @@ def evaluate_main(argv=None) -> dict:
             seed=args.seed,
         )
 
-    env = make_env(args.env, render=args.render, video_dir=args.video_dir)
-    env.reset(seed=args.seed)
+    if args.batched:
+        from dadiff_tpu.envs.vector_eval import evaluate_policy_batched
 
-    metrics = evaluate_policy(
-        policy, env, n_episodes=args.n_episodes, max_steps=args.max_steps
-    )
+        metrics = evaluate_policy_batched(
+            policy, args.env, n_episodes=args.n_episodes,
+            max_steps=args.max_steps, seed=args.seed,
+        )
+        env = make_env(args.env)  # for the close() below
+    else:
+        env = make_env(args.env, render=args.render, video_dir=args.video_dir)
+        env.reset(seed=args.seed)
+        metrics = evaluate_policy(
+            policy, env, n_episodes=args.n_episodes, max_steps=args.max_steps
+        )
     path = save_results(
         metrics,
         policy_type=args.policy_type,

@@ -1,0 +1,130 @@
+"""Batched host-env evaluation: N gymnasium episodes in lockstep, one
+batched TPU plan per replan wave.
+
+The reference (and our sequential `evaluate_policy`) runs one episode at a
+time with batch-1 plans — on a tunneled TPU each replan costs a full host
+round trip. Here N envs step together and their replans share a single
+batched jit call, amortizing both the round trip and the device compute
+(batch-N sampling costs ~the same as batch-1; see RESULTS.md).
+
+Semantics note: episodes are seeded per-env (seed+i), so results are not
+episode-for-episode identical to the sequential protocol — use sequential
+`evaluate_policy` for reference-protocol A/B numbers and this for fast
+sweeps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dadiff_tpu.guides.policies import GuidedPolicy
+from dadiff_tpu.guides.sampling import Conditions
+
+
+def _batched_conditions(normed_obs: np.ndarray, observation_dim: int,
+                        horizon: int, transition_dim: int) -> Conditions:
+    batch = normed_obs.shape[0]
+    values = np.zeros((batch, horizon, transition_dim), np.float32)
+    values[:, 0, :observation_dim] = normed_obs
+    mask = np.zeros((horizon,), bool)
+    mask[0] = True
+    return Conditions(values=values, mask=mask)
+
+
+def evaluate_policy_batched(
+    policy: GuidedPolicy,
+    env_name: str,
+    n_episodes: int = 10,
+    max_steps: int = 300,
+    seed: int = 42,
+    env_kwargs: Optional[dict] = None,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Run ``n_episodes`` host-env episodes in lockstep with batched replans.
+
+    Reuses the policy's jitted sampler (and its projection/stats buffers);
+    only the batch dimension changes.
+    """
+    import gymnasium as gym
+
+    try:
+        import gymnasium_robotics  # noqa: F401
+    except ImportError:
+        pass
+
+    envs = [gym.make(env_name, **(env_kwargs or {})) for _ in range(n_episodes)]
+    obs_list = []
+    for i, env in enumerate(envs):
+        obs, _ = env.reset(seed=seed + i)
+        obs_list.append(obs)
+
+    horizon = policy.horizon
+    obs_dim = policy.observation_dim
+    act_dim = policy.action_dim
+    trans_dim = policy.transition_dim
+    a0, a1 = obs_dim, obs_dim + act_dim
+    action_horizon = policy.action_horizon
+    start_t = 1 if policy.skip_conditioned_action else 0
+    n_buffered = min(action_horizon + 1, horizon) - start_t
+
+    total_reward = np.zeros(n_episodes)
+    lengths = np.zeros(n_episodes, dtype=int)
+    success = np.zeros(n_episodes, dtype=bool)
+    done = np.zeros(n_episodes, dtype=bool)
+
+    step = 0
+    while step < max_steps and not done.all():
+        # one batched replan for all live envs (plan for all; cheap)
+        processed = np.concatenate(
+            [policy._process_observation(o) for o in obs_list], axis=0
+        )
+        normed = policy.normalizer.normalize_observations(processed)
+        cond = _batched_conditions(normed, obs_dim, horizon, trans_dim)
+        policy._rng, key = jax.random.split(policy._rng)
+        trajs = np.asarray(
+            policy._plan(policy.params, key, cond, policy._P, policy._stats)
+        )  # (N, H, D)
+        actions_norm = trajs[:, start_t : start_t + n_buffered, a0:a1]
+
+        for j in range(n_buffered):
+            if step >= max_steps or done.all():
+                break
+            acts = policy.normalizer.unnormalize_actions(
+                actions_norm[:, j].reshape(n_episodes, -1)
+            )
+            for i, env in enumerate(envs):
+                if done[i]:
+                    continue
+                obs, reward, terminated, truncated, info = env.step(
+                    np.ravel(acts[i])
+                )
+                obs_list[i] = obs
+                total_reward[i] += float(reward)
+                lengths[i] += 1
+                if isinstance(info, dict) and info.get("success"):
+                    success[i] = True
+                done[i] = done[i] | bool(terminated) | bool(truncated)
+            step += 1
+
+    for env in envs:
+        env.close()
+
+    if verbose:
+        for i in range(n_episodes):
+            print(f"Episode {i + 1}: reward={total_reward[i]:.2f} "
+                  f"length={lengths[i]} success={bool(success[i])}")
+
+    return {
+        "mean_reward": float(total_reward.mean()),
+        "std_reward": float(total_reward.std()),
+        "mean_length": float(lengths.mean()),
+        "std_length": float(lengths.std()),
+        "success_rate": float(success.mean()),
+        "episode_rewards": total_reward.tolist(),
+        "episode_lengths": lengths.tolist(),
+        "episode_success": success.tolist(),
+    }

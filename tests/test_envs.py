@@ -167,3 +167,28 @@ def test_evaluate_policy_protocol(tmp_path):
         results = json.load(f)
     assert results["metrics"]["success_rate"] == 1.0
     assert len(results["metrics"]["episode_rewards"]) == 3
+
+
+def test_batched_vector_eval_smoke():
+    """Batched lockstep evaluation over real gym envs with a tiny model."""
+    from dadiff_tpu.datasets.normalization import DatasetNormalizer
+    from dadiff_tpu.envs.vector_eval import evaluate_policy_batched
+    from dadiff_tpu.guides.policies import MPCPolicy
+
+    rng = np.random.RandomState(0)
+    normalizer = DatasetNormalizer(rng.randn(200, 6), rng.randn(200, 2), 6, 2)
+    unet = TemporalUnet(transition_dim=8, dim=8, dim_mults=(1, 2))
+    d = GaussianDiffusion(
+        model=unet, horizon=8, observation_dim=6, action_dim=2, n_timesteps=5
+    )
+    params = d.init_params(jax.random.PRNGKey(0))
+    policy = MPCPolicy(d, normalizer, params=params, action_horizon=4,
+                       sampling_timesteps=5)
+
+    metrics = evaluate_policy_batched(
+        policy, "PointMaze_UMaze-v3", n_episodes=3, max_steps=12, seed=0,
+        verbose=False,
+    )
+    assert len(metrics["episode_rewards"]) == 3
+    assert metrics["mean_length"] == 12.0
+    assert 0.0 <= metrics["success_rate"] <= 1.0
