@@ -287,6 +287,16 @@ class Trainer:
         self.save_checkpoint(start_epoch + n_epochs - 1, final=True)
         return history
 
+    def close(self) -> None:
+        for f in (self._log_file, self._metrics_file):
+            try:
+                f.close()
+            except Exception:
+                pass
+
+    def __del__(self):  # best-effort handle cleanup
+        self.close()
+
     # -- checkpointing (reference training.py:191-224 schema) -----------------
     def _config_dict(self) -> Dict[str, Any]:
         d = self.diffusion
