@@ -12,7 +12,7 @@ also what `clip_denoised` in the diffusion model assumes).
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Union
+from typing import Dict, Union
 
 import numpy as np
 

@@ -16,7 +16,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Sequence, Union
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

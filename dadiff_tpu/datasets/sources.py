@@ -13,7 +13,6 @@ downloads need network); every other source is hermetic.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np

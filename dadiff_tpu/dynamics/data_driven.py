@@ -7,7 +7,7 @@ gymnasium rollouts, synthetic, or npz all feed the same fit.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

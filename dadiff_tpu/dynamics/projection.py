@@ -18,8 +18,6 @@ trivially dense on TPU; applied batched inside the sampling scan
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 

@@ -8,10 +8,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from dadiff_tpu.dynamics.data_driven import identify_dynamics_from_data
-from dadiff_tpu.dynamics.extractor import (
-    double_integrator_dynamics,
-    get_dynamics_extractor,
-)
+from dadiff_tpu.dynamics.extractor import get_dynamics_extractor
 
 # Environment name patterns -> dynamics method (reference registry.py:12-18)
 DYNAMICS_REGISTRY = {

@@ -18,7 +18,6 @@ from jax import lax
 
 from dadiff_tpu.envs.pointmaze_jax import PointMazeJax
 from dadiff_tpu.guides.sampling import (
-    Conditions,
     ProjectionSpec,
     conditions_for_initial_obs,
     make_sampler,

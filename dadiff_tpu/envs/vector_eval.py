@@ -15,11 +15,10 @@ sweeps.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from dadiff_tpu.guides.policies import GuidedPolicy
 from dadiff_tpu.guides.sampling import Conditions
