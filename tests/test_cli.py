@@ -100,3 +100,36 @@ def test_train_value_main(tmp_path):
 
     v = vnet.apply({"params": params}, jnp.zeros((2, 8, 8)), jnp.zeros(2, jnp.int32))
     assert v.shape == (2,)
+
+
+def test_evaluate_main_end_to_end(tmp_path):
+    """Full CLI round trip on CPU: train -> evaluate (guided + dynamics-aware)
+    on the real PointMaze env with tiny settings."""
+    pytest.importorskip("gymnasium")
+    from dadiff_tpu.cli import evaluate_main
+
+    log_dir = train_main([
+        "--dataset", "synthetic:pointmaze:n=8,T=30",
+        "--horizon", "8", "--dim", "8", "--dim-mults", "1", "2",
+        "--n-timesteps", "5", "--n-epochs", "1", "--batch-size", "32",
+        "--log-dir", str(tmp_path), "--device", "cpu", "--save-freq", "0",
+    ])
+    pt = next(f for f in os.listdir(log_dir) if f.endswith(".pt"))
+    ckpt = os.path.join(log_dir, pt)
+
+    for policy_type in ("guided", "dynamics-aware"):
+        metrics = evaluate_main([
+            "--checkpoint", ckpt,
+            "--env", "PointMaze_UMaze-v3",
+            "--policy-type", policy_type,
+            "--dataset", "synthetic:pointmaze:n=8,T=30",
+            "--n-episodes", "1", "--max-steps", "5",
+            "--sampling-timesteps", "5",
+            "--device", "cpu",
+            "--results-dir", str(tmp_path / "results"),
+        ])
+        assert "success_rate" in metrics
+        assert len(metrics["episode_rewards"]) == 1
+    files = os.listdir(tmp_path / "results")
+    assert any(f.startswith("guided_") for f in files)
+    assert any(f.startswith("dynamics-aware_") for f in files)

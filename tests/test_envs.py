@@ -192,3 +192,42 @@ def test_batched_vector_eval_smoke():
     assert len(metrics["episode_rewards"]) == 3
     assert metrics["mean_length"] == 12.0
     assert 0.0 <= metrics["success_rate"] <= 1.0
+
+
+def test_jax_env_tracks_real_env():
+    """Calibrated PointMazeJax physics vs the real gymnasium PointMaze:
+    same action sequence from the same state stays close over 20 steps
+    (open corridor, no wall contact)."""
+    gym = pytest.importorskip("gymnasium")
+    try:
+        import gymnasium_robotics  # noqa: F401
+        real = gym.make("PointMaze_UMaze-v3")
+    except Exception as e:
+        pytest.skip(f"PointMaze unavailable: {e}")
+
+    obs, _ = real.reset(seed=3)
+    start = np.asarray(obs["observation"], np.float64)
+    goal = np.asarray(obs["desired_goal"], np.float64)
+
+    jenv = PointMazeJax(map_name="umaze")
+    state = PointMazeState(
+        pos=jnp.asarray(start[:2])[None],
+        vel=jnp.asarray(start[2:4])[None],
+        goal=jnp.asarray(goal)[None],
+        t=jnp.zeros((1,), jnp.int32),
+        done=jnp.zeros((1,), bool),
+    )
+
+    rng = np.random.RandomState(0)
+    max_err = 0.0
+    for _ in range(20):
+        a = rng.uniform(-0.3, 0.3, 2).astype(np.float32)
+        obs, *_ = real.step(a)
+        state, jobs, _, _ = jenv.step(state, jnp.asarray(a)[None])
+        err = float(np.linalg.norm(
+            np.asarray(obs["observation"][:2]) - np.asarray(state.pos[0])
+        ))
+        max_err = max(max_err, err)
+    real.close()
+    # sysID-calibrated physics: positions stay within ~5cm over 20 steps
+    assert max_err < 0.05, f"divergence {max_err:.4f}"
