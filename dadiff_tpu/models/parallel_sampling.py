@@ -49,10 +49,15 @@ def parallel_sample_loop(
     """Sliding-window Picard iteration (ParaDiGMS-style).
 
     A window of ``window`` consecutive timesteps is iterated in parallel
-    (one (window*B)-batched model call per sweep). Per-position convergence
-    is checked with ``tol``; the window start advances past every leading
-    converged position each sweep — typically several per sweep once the
-    window is warm, so the number of *sequential* model calls drops well
+    (one (window*B)-batched model call per sweep) in the *integral form*:
+
+        X[i+1] = X[s] + sum_{j=s..i} d_j(X[j]),   d_j(x) = f_j(x) - x
+
+    so one sweep propagates drift information across the whole window (the
+    recursion form would only move the wavefront one position per sweep).
+    Per-position convergence is checked with ``tol``; the window start
+    advances past every leading converged position each sweep — typically
+    several at once — so the number of *sequential* model calls drops well
     below T while staying within tol of the exact chain.
 
     Args:
@@ -98,8 +103,16 @@ def parallel_sample_loop(
         nonzero = (t_flat != 0).astype(jnp.float32).reshape(
             (W * batch,) + (1,) * (len(shape) - 1)
         )
-        new = (mean + nonzero * jnp.exp(0.5 * log_var)
-               * n_win.reshape((W * batch,) + shape[1:])).reshape((W,) + shape)
+        stepped = (mean + nonzero * jnp.exp(0.5 * log_var)
+                   * n_win.reshape((W * batch,) + shape[1:])).reshape((W,) + shape)
+
+        # integral (Picard) update: anchor at the converged prefix state and
+        # accumulate drifts d_j = f_j(X[j]) - X[j] across the window
+        drift = stepped - x_win
+        anchor = X[s] if isinstance(s, int) else lax.dynamic_index_in_dim(
+            X, s, axis=0, keepdims=False
+        )
+        new = anchor[None] + jnp.cumsum(drift, axis=0)
 
         old = lax.dynamic_slice_in_dim(X, s + 1, W, axis=0)
         delta = jnp.max(jnp.abs(new - old).reshape(W, -1), axis=1)  # (W,)
