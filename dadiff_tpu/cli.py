@@ -493,6 +493,11 @@ def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
     state_key = "ema_state_dict" if (use_ema and checkpoint.get("ema_state_dict")) \
         else "model_state_dict"
     params = diffusion_state_to_flax(checkpoint[state_key])
+    # Commit params to device ONCE. Host-numpy params would be re-uploaded on
+    # every jit call — on a tunneled TPU that is seconds per replan.
+    import jax
+
+    params = jax.device_put(params)
     return diffusion, params, dataset
 
 

@@ -52,7 +52,9 @@ class GuidedPolicy:
     ):
         self.diffusion = diffusion
         self.normalizer = normalizer
-        self.params = params
+        # commit params to device once: host-numpy params would re-upload the
+        # full weight set on every replan (seconds each on tunneled TPUs)
+        self.params = jax.device_put(params) if params is not None else None
         self.guide_fn = guide_fn
         self.guide_weight = guide_weight
 
