@@ -398,3 +398,20 @@ def load_config(config_path: str) -> Dict[str, Any]:
     """(reference training.py:335-339)"""
     with open(config_path) as f:
         return json.load(f)
+
+
+def create_trainer_with_custom_loss(
+    model, train_loader, loss_fn, *, scheduler=None, device=None, log_dir="./logs",
+    save_freq=10000, eval_freq=5000, use_ema=True, ema_decay=0.995,
+    gradient_clip=1.0, loss_names=None, **kwargs,
+):
+    """API-parity factory (reference training.py:342-364). ``scheduler`` and
+    ``device`` are accepted for signature compatibility; in JAX the schedule
+    lives inside the optimizer and placement inside shardings."""
+    del scheduler, device
+    return Trainer(
+        model, train_loader, loss_fn,
+        log_dir=log_dir, save_freq=save_freq, eval_freq=eval_freq,
+        use_ema=use_ema, ema_decay=ema_decay, gradient_clip=gradient_clip,
+        loss_names=loss_names, **kwargs,
+    )
