@@ -53,11 +53,23 @@ def main():
     )
     params = diffusion.init_params(jax.random.PRNGKey(0))
 
-    # headline: batch-1 full reverse chain (one jitted scan)
-    loop_b1 = jax.jit(lambda p, r: diffusion.p_sample_loop(p, r, (1, 32, 8)))
+    # headline: batch-1 full reverse chain via the latency-tuned sampler
+    # (hoisted time-MLP/coefficients; equivalence-tested vs the standard path
+    # in tests/test_fast_sampler.py)
+    from dadiff_tpu.models.fast_sampler import fast_p_sample_loop
+
+    loop_b1 = jax.jit(
+        lambda p, r: fast_p_sample_loop(
+            diffusion.model, p, diffusion.schedule, r, (1, 32, 8)
+        )
+    )
     loop_b1(params, jax.random.PRNGKey(0)).block_until_ready()  # compile
     dt_b1 = median_time(lambda i: loop_b1(params, jax.random.PRNGKey(i)))
     denoise_sps = n_timesteps / dt_b1
+
+    std_b1 = jax.jit(lambda p, r: diffusion.p_sample_loop(p, r, (1, 32, 8)))
+    std_b1(params, jax.random.PRNGKey(0)).block_until_ready()
+    dt_std = median_time(lambda i: std_b1(params, jax.random.PRNGKey(i)))
 
     # serving: batched planner throughput
     batch = 256
@@ -89,6 +101,7 @@ def main():
         "unit": "denoise steps/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "baseline_torch_cpu_batch1": baseline_b1,
+        "standard_sampler_steps_per_sec": round(n_timesteps / dt_std, 1),
         "guided_sampler_steps_per_sec": round(guided_sps, 1),
         "batched_sample_steps_per_sec_b256": round(batched_sample_sps, 1),
         "backend": jax.default_backend(),

@@ -63,11 +63,16 @@ def _res_block(p: Dict, x, t_emb, use_pallas: bool):
 
 
 def unet_apply_fused(
-    unet: TemporalUnet, params: Dict, x: jax.Array, t: jax.Array,
-    use_pallas: bool = True,
+    unet: TemporalUnet, params: Dict, x: jax.Array, t: jax.Array = None,
+    use_pallas: bool = True, t_emb: jax.Array = None,
 ) -> jax.Array:
-    """Fused-forward equivalent of ``unet.apply({'params': params}, x, t)``."""
-    t_emb = _time_embedding(params, t, unet.dim)
+    """Fused-forward equivalent of ``unet.apply({'params': params}, x, t)``.
+
+    ``t_emb`` may be precomputed (e.g. once for all timesteps outside a
+    sampling scan) to skip the in-step time MLP.
+    """
+    if t_emb is None:
+        t_emb = _time_embedding(params, t, unet.dim)
 
     n_levels = len(unet.dim_mults)
     skips = []
