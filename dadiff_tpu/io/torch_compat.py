@@ -214,21 +214,27 @@ def infer_model_config_from_checkpoint(checkpoint: Dict[str, Any]) -> Dict[str, 
     )
 
     num_levels = infer_n_levels(state)
-    if num_levels == 3:
-        dim_mults = (1, 2, 4)
-    elif num_levels == 4:
-        dim_mults = (1, 2, 4, 8)
-    elif num_levels == 2:
-        dim_mults = (1, 2)
-    elif num_levels <= 0:
-        dim_mults = (1, 2, 4, 8)
-    else:
-        dim_mults = tuple(2 ** i for i in range(num_levels))
 
     dim = 128
     key = "model.downs.0.0.blocks.0.block.0.weight"
     if key in state:
         dim = int(np.asarray(state[key]).shape[0])
+
+    # Exact per-level inference from weight shapes: level i's first conv has
+    # out-channels dim * mults[i] (improvement over the reference's
+    # level-count lookup table, train.py:140-148, which mis-infers any
+    # non-(1,2,4...) multiplier set such as HalfCheetah's (1,4,8)).
+    mults = []
+    for i in range(num_levels):
+        k = f"model.downs.{i}.0.blocks.0.block.0.weight"
+        if k in state:
+            mults.append(int(np.asarray(state[k]).shape[0]) // dim)
+    if mults:
+        dim_mults = tuple(mults)
+    elif num_levels > 0:
+        dim_mults = tuple(2 ** i for i in range(num_levels))  # reference fallback
+    else:
+        dim_mults = (1, 2, 4, 8)
 
     # transition dim from the final 1x1 conv (shape (transition_dim, dim, 1))
     transition_dim = None

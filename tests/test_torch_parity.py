@@ -234,3 +234,24 @@ def test_seed_for_seed_sampling_parity(pair):
         )
     )
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_config_inference_nonstandard_mults(tmp_path):
+    """dim_mults inferred exactly from weight shapes, including sets the
+    reference's level-count heuristic mis-infers (e.g. HalfCheetah's 1-4-8)."""
+    from dadiff_tpu.models.diffusion import GaussianDiffusion
+    from dadiff_tpu.models.temporal_unet import TemporalUnet
+
+    unet = TemporalUnet(transition_dim=7, dim=8, dim_mults=(1, 4, 8))
+    d = GaussianDiffusion(model=unet, horizon=16, observation_dim=5,
+                          action_dim=2, n_timesteps=10)
+    params = d.init_params(jax.random.PRNGKey(0))
+    path = str(tmp_path / "hc.pt")
+    tc.save_pt_checkpoint(path, params, d.schedule, {
+        "dim": 8, "dim_mults": [1, 4, 8], "n_timesteps": 10,
+        "beta_schedule": "cosine", "horizon": 16,
+        "observation_dim": 5, "action_dim": 2,
+    })
+    cfg = tc.infer_model_config_from_checkpoint(tc.load_pt_checkpoint(path))
+    assert tuple(cfg["dim_mults"]) == (1, 4, 8)
+    assert cfg["dim"] == 8
