@@ -455,8 +455,13 @@ ENV_TO_DATASET = {
 
 def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
                use_ema: bool = False, sampling_timesteps=None):
-    """Load a .pt checkpoint + dataset normalizer and rebuild the model
-    (reference evaluate.py:125-203). Returns (diffusion, params, dataset)."""
+    """Load a checkpoint + dataset normalizer and rebuild the model
+    (reference evaluate.py:125-203). Returns (diffusion, params, dataset).
+
+    Accepts either format: the reference-schema torch ``.pt`` (architecture
+    inferred from weight shapes) or the native orbax checkpoint (base path or
+    ``*.orbax`` dir; config from the ``.meta.json`` sidecar).
+    """
     from dadiff_tpu.datasets.sequence import SequenceDataset
     from dadiff_tpu.io.torch_compat import (
         diffusion_state_to_flax,
@@ -465,6 +470,11 @@ def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
     )
     from dadiff_tpu.models.diffusion import GaussianDiffusion
     from dadiff_tpu.models.temporal_unet import TemporalUnet
+
+    base = checkpoint_path[:-len(".orbax")] if checkpoint_path.endswith(".orbax") \
+        else checkpoint_path
+    if os.path.isdir(base + ".orbax"):
+        return _load_model_native(base, dataset_spec, horizon_hint, use_ema)
 
     checkpoint = load_pt_checkpoint(checkpoint_path)
     cfg = infer_model_config_from_checkpoint(checkpoint)
@@ -499,6 +509,59 @@ def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
 
     params = jax.device_put(params)
     return diffusion, params, dataset
+
+
+def _load_model_native(base: str, dataset_spec: str, horizon_hint=None,
+                       use_ema: bool = False):
+    """Native-orbax branch of :func:`load_model` (Trainer save_native layout:
+    full TrainState + config sidecar)."""
+    import jax
+
+    from dadiff_tpu.datasets.sequence import SequenceDataset
+    from dadiff_tpu.io.checkpoints import restore_native
+    from dadiff_tpu.models.diffusion import GaussianDiffusion
+    from dadiff_tpu.models.temporal_unet import TemporalUnet
+    from dadiff_tpu.utils.training import TrainState, make_optimizer
+
+    with open(base + ".meta.json") as f:
+        cfg = json.load(f)["config"]
+    horizon = horizon_hint or cfg["horizon"]
+
+    dataset = SequenceDataset(
+        dataset_name=dataset_spec,
+        horizon=horizon,
+        normalizer="LimitsNormalizer",
+        max_path_length=1000,
+        use_padding=True,
+    )
+    unet = TemporalUnet(
+        transition_dim=dataset.transition_dim,
+        dim=cfg["dim"],
+        dim_mults=tuple(cfg["dim_mults"]),
+    )
+    diffusion = GaussianDiffusion(
+        model=unet,
+        horizon=horizon,
+        observation_dim=dataset.observation_dim,
+        action_dim=dataset.action_dim,
+        n_timesteps=cfg["n_timesteps"],
+        beta_schedule=cfg["beta_schedule"],
+    )
+    import jax.numpy as jnp
+
+    params0 = diffusion.init_params(jax.random.PRNGKey(0))
+    # schedule-carrying optimizer to match the Trainer's opt_state structure
+    from dadiff_tpu.utils.training import warmup_cosine_schedule
+
+    optimizer = make_optimizer(warmup_cosine_schedule(1e-3, 0, 1))
+    template = TrainState(
+        step=jnp.asarray(0), params=params0, opt_state=optimizer.init(params0),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params0),
+    )
+    state, _ = restore_native(base, template)
+    params = state.ema_params if (use_ema and state.ema_params is not None) \
+        else state.params
+    return diffusion, jax.device_put(params), dataset
 
 
 def evaluate_main(argv=None) -> dict:

@@ -133,3 +133,35 @@ def test_evaluate_main_end_to_end(tmp_path):
     files = os.listdir(tmp_path / "results")
     assert any(f.startswith("guided_") for f in files)
     assert any(f.startswith("dynamics-aware_") for f in files)
+
+
+def test_load_model_native_orbax(tmp_path):
+    """evaluate-path loading from the native orbax checkpoint (no .pt)."""
+    from dadiff_tpu.cli import load_model
+
+    log_dir = train_main([
+        "--dataset", "synthetic:pointmaze:n=8,T=30",
+        "--horizon", "8", "--dim", "8", "--dim-mults", "1", "2",
+        "--n-timesteps", "10", "--n-epochs", "1", "--batch-size", "32",
+        "--log-dir", str(tmp_path), "--device", "cpu", "--save-freq", "0",
+        "--no-export-pt",
+    ])
+    files = os.listdir(log_dir)
+    assert not any(f.endswith(".pt") for f in files)
+    base = next(f for f in files if f.endswith(".orbax"))
+    diffusion, params, dataset = load_model(
+        os.path.join(log_dir, base), "synthetic:pointmaze:n=8,T=30"
+    )
+    assert diffusion.horizon == 8
+    import jax
+
+    traj = diffusion.p_sample_loop(params, jax.random.PRNGKey(0), (1, 8, 8))
+    assert np.all(np.isfinite(np.asarray(traj)))
+
+    # EMA branch
+    _, ema_params, _ = load_model(
+        os.path.join(log_dir, base), "synthetic:pointmaze:n=8,T=30", use_ema=True
+    )
+    assert len(jax.tree_util.tree_leaves(ema_params)) == len(
+        jax.tree_util.tree_leaves(params)
+    )
