@@ -245,6 +245,14 @@ def train_main(argv=None) -> str:
         lr = args.lr * 0.1
         print(f"fine-tune mode: lr -> {lr}")
 
+    # held-out probe batch for eval_freq validation (windows from the tail of
+    # the index; an observability probe, not a strict episode-level split)
+    val_batch = None
+    if args.eval_freq and len(dataset) > 512:
+        import numpy as _np
+
+        val_batch = dataset.get_batch(_np.arange(len(dataset) - 256, len(dataset)))
+
     total_steps = args.n_epochs * len(loader)
     trainer = Trainer(
         diffusion,
@@ -266,6 +274,7 @@ def train_main(argv=None) -> str:
         seed=args.seed,
         export_pt=not args.no_export_pt,
         skip_nonfinite=args.skip_nonfinite,
+        val_batch=val_batch,
     )
     print(f"model parameters: {count_parameters(trainer.state.params):,}")
 

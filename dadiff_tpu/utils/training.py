@@ -179,6 +179,7 @@ class Trainer:
         seed: int = 0,
         export_pt: bool = True,
         skip_nonfinite: bool = False,
+        val_batch=None,
     ):
         self.diffusion = diffusion
         self.train_loader = train_loader
@@ -228,6 +229,29 @@ class Trainer:
         )
         self.global_step = 0
 
+        # Optional held-out validation (the reference accepts eval_freq but
+        # never evaluates; here it drives a real val-loss probe).
+        self._val_batch = None
+        self._eval_step = None
+        if val_batch is not None:
+            self._val_batch = {
+                k: jax.device_put(v, self._batch_sharding)
+                if self._batch_sharding is not None else jnp.asarray(v)
+                for k, v in val_batch.items()
+            }
+            self._eval_step = jax.jit(
+                lambda params, batch, rng: loss_fn(params, batch, rng)[0]
+            )
+
+    def evaluate(self, use_ema: bool = False) -> Optional[float]:
+        """Held-out loss on the validation batch (None if not configured)."""
+        if self._val_batch is None:
+            return None
+        params = self.state.ema_params if (use_ema and self.state.ema_params
+                                           is not None) else self.state.params
+        self._rng, key = jax.random.split(self._rng)
+        return float(self._eval_step(params, self._val_batch, key))
+
     # -- core loop ------------------------------------------------------------
     def train_step(self, batch) -> Dict[str, float]:
         """One fused step; returns host metrics (reference training.py:144-178)."""
@@ -259,6 +283,11 @@ class Trainer:
 
                 if self.save_freq and self.global_step % self.save_freq == 0:
                     self.save_checkpoint(epoch)
+
+                if (self._val_batch is not None and self.eval_freq
+                        and self.global_step % self.eval_freq == 0):
+                    val = self.evaluate()
+                    epoch_metrics.setdefault("val_loss", []).append(val)
 
             dt = time.time() - t0
             sps = n_steps / max(dt, 1e-9)

@@ -177,3 +177,24 @@ def test_trainer_checkpoint_roundtrip(tmp_path, small_diffusion, dataset):
     )
     trainer3.load_checkpoint(base, reset_optimizer=True)
     assert trainer3.global_step == 0
+
+
+def test_trainer_validation_probe(tmp_path, small_diffusion, dataset):
+    d = small_diffusion
+    loader = create_dataloader(dataset, batch_size=16)
+    loss_fn, names = build_loss(d)
+    val_batch = dataset.get_batch(np.arange(32))
+    trainer = Trainer(
+        d, loader, loss_fn, lr=1e-3, log_dir=str(tmp_path), save_freq=0,
+        eval_freq=5, export_pt=False, val_batch=val_batch,
+    )
+    v0 = trainer.evaluate()
+    assert v0 is not None and np.isfinite(v0)
+    history = trainer.train(n_epochs=1)
+    assert "val_loss" in history
+    # no val batch configured -> None
+    trainer2 = Trainer(
+        d, loader, loss_fn, lr=1e-3, log_dir=str(tmp_path / "b"), save_freq=0,
+        export_pt=False,
+    )
+    assert trainer2.evaluate() is None
