@@ -444,6 +444,9 @@ def build_eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-ema", action="store_true",
                    help="evaluate the EMA weights if present")
     p.add_argument("--max-steps", type=int, default=1000)
+    p.add_argument("--n-candidates", type=int, default=1,
+                   help="best-of-N candidate plans per replan (batched, "
+                        "near-free on TPU; scored by final goal distance)")
     p.add_argument("--batched", action="store_true",
                    help="run all episodes in lockstep with batched replans "
                         "(~Nx faster; per-env seeding, not the sequential "
@@ -605,12 +608,14 @@ def evaluate_main(argv=None) -> dict:
         policy = GuidedPolicy(
             diffusion, dataset.normalizer, params=params,
             sampling_timesteps=sampling_timesteps, seed=args.seed,
+            n_candidates=args.n_candidates,
         )
     elif args.policy_type == "mpc":
         policy = MPCPolicy(
             diffusion, dataset.normalizer, params=params,
             action_horizon=args.action_horizon,
             sampling_timesteps=sampling_timesteps, seed=args.seed,
+            n_candidates=args.n_candidates,
         )
     elif args.policy_type == "value-guided":
         from dadiff_tpu.guides.policies import ValueGuidedPolicy
@@ -657,6 +662,7 @@ def evaluate_main(argv=None) -> dict:
             sampling_timesteps=sampling_timesteps,
             parity_mode=args.parity_mode,
             seed=args.seed,
+            n_candidates=args.n_candidates,
         )
 
     if args.batched:

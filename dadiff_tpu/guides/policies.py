@@ -33,6 +33,18 @@ from dadiff_tpu.models.diffusion import GaussianDiffusion
 from dadiff_tpu.ops.projection import NormStats
 
 
+def goal_distance_scorer(trajs: jax.Array, normed_obs: jax.Array) -> jax.Array:
+    """Default best-of-N scorer for goal-conditioned envs: distance between
+    the plan's final position (obs dims 0:2) and the goal (last two obs dims
+    of the conditioned observation, the layout of sources.flatten_observation).
+    Works in normalized space — monotone in physical distance for affine
+    normalizers. trajs: (N, H, D); normed_obs: (obs_dim,). Returns (N,)."""
+    obs_dim = normed_obs.shape[-1]
+    goal = normed_obs[obs_dim - 2 : obs_dim]
+    final_pos = trajs[:, -1, 0:2]
+    return jnp.linalg.norm(final_pos - goal[None], axis=-1)
+
+
 class GuidedPolicy:
     """Base guided-sampling policy with conditioning and action buffering
     (reference policies.py:13-223)."""
@@ -49,6 +61,8 @@ class GuidedPolicy:
         seed: int = 0,
         projection: Optional[ProjectionSpec] = None,
         skip_conditioned_action: bool = False,
+        n_candidates: int = 1,
+        candidate_scorer: Optional[Callable] = None,
     ):
         self.diffusion = diffusion
         self.normalizer = normalizer
@@ -80,6 +94,12 @@ class GuidedPolicy:
             projection=projection,
             sampling_timesteps=sampling_timesteps,
         )
+        # Best-of-N candidate planning: sample n_candidates plans in one
+        # batched call (near-free on the MXU) and keep the best under
+        # candidate_scorer (lower is better). New serving capability with no
+        # reference counterpart (its eval runs batch_size=1, policies.py:217).
+        self.n_candidates = max(1, n_candidates)
+        self.candidate_scorer = candidate_scorer or goal_distance_scorer
         # Subclasses may set these (device copies used by the sampler)
         self._P = None
         self._stats = None
@@ -103,15 +123,21 @@ class GuidedPolicy:
     # -- planning -------------------------------------------------------------
     def plan(self, observation) -> np.ndarray:
         """Run one full guided reverse-diffusion plan from the current
-        observation. Returns the normalized trajectory (1, H, D)."""
+        observation (best of ``n_candidates`` batched samples).
+        Returns the normalized trajectory (1, H, D)."""
         obs = self._process_observation(observation)
         normed_obs = self.normalizer.normalize_observations(obs)
+        n = self.n_candidates
+        tiled = np.repeat(normed_obs, n, axis=0) if n > 1 else normed_obs
         conditions = conditions_for_initial_obs_np(
-            normed_obs, self.observation_dim, self.horizon, self.transition_dim
+            tiled, self.observation_dim, self.horizon, self.transition_dim
         )
         self._rng, key = jax.random.split(self._rng)
-        traj = self._plan(self.params, key, conditions, self._P, self._stats)
-        return np.asarray(traj)
+        trajs = self._plan(self.params, key, conditions, self._P, self._stats)
+        if n > 1:
+            scores = self.candidate_scorer(trajs, jnp.asarray(normed_obs[0]))
+            trajs = trajs[jnp.argmin(scores)][None]
+        return np.asarray(trajs)
 
     def _fill_action_buffer(self, trajectory: np.ndarray) -> None:
         """Extract and buffer actions (reference policies.py:181-191).
@@ -212,6 +238,7 @@ class DynamicsAwarePolicy(GuidedPolicy):
         sampling_timesteps: Optional[int] = None,
         parity_mode: bool = False,
         seed: int = 0,
+        **kwargs,
     ):
         horizon = horizon if horizon is not None else diffusion.horizon
         # default action_horizon = horizon for MPC behavior (reference :304-305)
@@ -237,6 +264,7 @@ class DynamicsAwarePolicy(GuidedPolicy):
             sampling_timesteps=sampling_timesteps,
             seed=seed,
             projection=spec,
+            **kwargs,
         )
 
         self.state_dim = state_dim

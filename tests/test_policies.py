@@ -251,3 +251,27 @@ def test_skip_conditioned_action_flag(diffusion, params, normalizer):
     # first action is now a planned one, not the unnormalized zero
     assert not np.allclose(action, normalizer.action_mean, atol=1e-5)
     assert len(policy.action_buffer) == 0  # buffered t=1 only (action_horizon=1)
+
+
+def test_best_of_n_candidate_planning(diffusion, params, normalizer):
+    """n_candidates plans batched; the goal-distance scorer picks the best."""
+    from dadiff_tpu.guides.policies import goal_distance_scorer
+
+    policy = GuidedPolicy(diffusion, normalizer, params=params, n_candidates=8)
+    obs = np.zeros(OBS_DIM)
+    traj = policy.plan(obs)
+    assert traj.shape == (1, HORIZON, TRANS)
+
+    # selected plan is at least as good as the average candidate
+    p1 = GuidedPolicy(diffusion, normalizer, params=params, n_candidates=1, seed=3)
+    pN = GuidedPolicy(diffusion, normalizer, params=params, n_candidates=16, seed=3)
+    normed = jnp.asarray(normalizer.normalize_observations(
+        policy._process_observation(obs))[0])
+
+    def score(policy_):
+        t = policy_.plan(obs)
+        return float(goal_distance_scorer(jnp.asarray(t), normed)[0])
+
+    scores1 = [score(p1) for _ in range(5)]
+    scoresN = [score(pN) for _ in range(5)]
+    assert np.mean(scoresN) <= np.mean(scores1) + 1e-6
