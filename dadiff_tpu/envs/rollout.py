@@ -40,11 +40,16 @@ def make_ondevice_evaluator(
     n_replans: int = 16,
     sampling_timesteps: Optional[int] = None,
     projection: Optional[ProjectionSpec] = None,
+    n_candidates: int = 1,
     jit: bool = True,
 ):
     """Build ``evaluate(params, rng, stats, batch_size, P=None) ->
     (RolloutMetrics, final_state)`` running ``n_replans`` plan->act cycles of
     ``action_horizon`` env steps each, entirely on device.
+
+    ``n_candidates > 1`` plans B*N trajectories per replan wave in one batched
+    call and executes, per env, the candidate whose final position is closest
+    to the goal (best-of-N selection fused into the loop).
 
     ``stats`` (NormStats) maps between env physical space and the model's
     normalized trajectory space.
@@ -72,8 +77,24 @@ def make_ondevice_evaluator(
             state, obs, total_reward, succeeded = carry
 
             normed_obs = (obs - stats.obs_mean) / stats.obs_std
-            cond = conditions_for_initial_obs(normed_obs, obs_dim, horizon, trans_dim)
-            traj = plan(params, key, cond, P, stats)
+            if n_candidates > 1:
+                tiled = jnp.repeat(normed_obs, n_candidates, axis=0)  # (B*N, d)
+                cond = conditions_for_initial_obs(tiled, obs_dim, horizon, trans_dim)
+                trajs = plan(params, key, cond, P, stats)  # (B*N, H, D)
+                trajs = trajs.reshape(batch_size, n_candidates, horizon, trans_dim)
+                # score: final predicted position vs goal (normalized space)
+                goal_norm = normed_obs[:, obs_dim - 2 : obs_dim]  # (B, 2)
+                final_pos = trajs[:, :, -1, 0:2]  # (B, N, 2)
+                scores = jnp.linalg.norm(final_pos - goal_norm[:, None], axis=-1)
+                best = jnp.argmin(scores, axis=1)  # (B,)
+                traj = jnp.take_along_axis(
+                    trajs, best[:, None, None, None], axis=1
+                )[:, 0]
+            else:
+                cond = conditions_for_initial_obs(
+                    normed_obs, obs_dim, horizon, trans_dim
+                )
+                traj = plan(params, key, cond, P, stats)
 
             # actions for the next action_horizon steps (physical space)
             acts_norm = traj[:, :action_horizon, obs_dim : obs_dim + act_dim]

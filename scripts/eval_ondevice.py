@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument("--sampling-timesteps", type=int, default=None)
     p.add_argument("--projection", action="store_true",
                    help="dynamics-aware per-step projection in the plan scan")
+    p.add_argument("--n-candidates", type=int, default=1,
+                   help="best-of-N candidate plans per replan wave (fused)")
     p.add_argument("--projection-schedule", type=str, default="noise_schedule")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
@@ -79,6 +81,7 @@ def main(argv=None):
         n_replans=args.n_replans,
         sampling_timesteps=args.sampling_timesteps,
         projection=projection,
+        n_candidates=args.n_candidates,
     )
 
     # compile
@@ -99,6 +102,7 @@ def main(argv=None):
     out = {
         "mode": "on-device plan->step->replan",
         "projection": bool(args.projection),
+        "n_candidates": args.n_candidates,
         "batch": args.batch,
         "env_steps_per_episode": args.n_replans * args.action_horizon,
         "success_rate": float(metrics.success_rate),

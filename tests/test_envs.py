@@ -231,3 +231,19 @@ def test_jax_env_tracks_real_env():
     real.close()
     # sysID-calibrated physics: positions stay within ~5cm over 20 steps
     assert max_err < 0.05, f"divergence {max_err:.4f}"
+
+
+def test_ondevice_evaluator_best_of_n(env):
+    unet = TemporalUnet(transition_dim=8, dim=8, dim_mults=(1, 2))
+    d = GaussianDiffusion(
+        model=unet, horizon=8, observation_dim=6, action_dim=2, n_timesteps=5
+    )
+    params = d.init_params(jax.random.PRNGKey(0))
+    stats = NormStats.identity(6, 2)
+    evaluator = make_ondevice_evaluator(
+        d, env, action_horizon=4, n_replans=2, n_candidates=4
+    )
+    metrics, state = evaluator(params, jax.random.PRNGKey(1), stats, 8)
+    assert 0.0 <= float(metrics.success_rate) <= 1.0
+    assert np.isfinite(float(metrics.mean_reward))
+    assert int(state.t[0]) == 8
