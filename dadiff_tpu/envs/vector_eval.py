@@ -10,7 +10,9 @@ batched jit call, amortizing both the round trip and the device compute
 Semantics note: episodes are seeded per-env (seed+i), so results are not
 episode-for-episode identical to the sequential protocol — use sequential
 `evaluate_policy` for reference-protocol A/B numbers and this for fast
-sweeps.
+sweeps. Best-of-N candidate selection (policy.n_candidates) applies only to
+the sequential path; here the batch dimension is already spent on episodes
+(the fully-fused combination of both lives in envs/rollout.py).
 """
 
 from __future__ import annotations
