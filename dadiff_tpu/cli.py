@@ -444,6 +444,10 @@ def build_eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-ema", action="store_true",
                    help="evaluate the EMA weights if present")
     p.add_argument("--max-steps", type=int, default=1000)
+    p.add_argument("--sampler", type=str, default="ddpm",
+                   choices=["ddpm", "ddim"],
+                   help="ddim = strided fast sampling (with conditioning/"
+                        "guidance/projection composed)")
     p.add_argument("--n-candidates", type=int, default=1,
                    help="best-of-N candidate plans per replan (batched, "
                         "near-free on TPU; scored by final goal distance)")
@@ -608,14 +612,14 @@ def evaluate_main(argv=None) -> dict:
         policy = GuidedPolicy(
             diffusion, dataset.normalizer, params=params,
             sampling_timesteps=sampling_timesteps, seed=args.seed,
-            n_candidates=args.n_candidates,
+            n_candidates=args.n_candidates, sampler=args.sampler,
         )
     elif args.policy_type == "mpc":
         policy = MPCPolicy(
             diffusion, dataset.normalizer, params=params,
             action_horizon=args.action_horizon,
             sampling_timesteps=sampling_timesteps, seed=args.seed,
-            n_candidates=args.n_candidates,
+            n_candidates=args.n_candidates, sampler=args.sampler,
         )
     elif args.policy_type == "value-guided":
         from dadiff_tpu.guides.policies import ValueGuidedPolicy
@@ -663,6 +667,7 @@ def evaluate_main(argv=None) -> dict:
             parity_mode=args.parity_mode,
             seed=args.seed,
             n_candidates=args.n_candidates,
+            sampler=args.sampler,
         )
 
     if args.batched:

@@ -63,6 +63,8 @@ class GuidedPolicy:
         skip_conditioned_action: bool = False,
         n_candidates: int = 1,
         candidate_scorer: Optional[Callable] = None,
+        sampler: str = "ddpm",
+        ddim_eta: float = 0.0,
     ):
         self.diffusion = diffusion
         self.normalizer = normalizer
@@ -93,6 +95,8 @@ class GuidedPolicy:
             guide_weight=guide_weight,
             projection=projection,
             sampling_timesteps=sampling_timesteps,
+            sampler=sampler,
+            ddim_eta=ddim_eta,
         )
         # Best-of-N candidate planning: sample n_candidates plans in one
         # batched call (near-free on the MXU) and keep the best under

@@ -106,6 +106,8 @@ def make_sampler(
     guide_weight: float = 1.0,
     projection: Optional[ProjectionSpec] = None,
     sampling_timesteps: Optional[int] = None,
+    sampler: str = "ddpm",
+    ddim_eta: float = 0.0,
     jit: bool = True,
 ):
     """Build ``plan(params, rng, conditions, P, stats) -> (B, H, D)``.
@@ -118,9 +120,28 @@ def make_sampler(
     ``guide_fn(x, t).sum()`` is added to the posterior mean scaled by
     ``guide_weight * exp(log_variance)`` (variance, not sigma — a reference
     choice we keep).
+
+    ``sampler='ddim'`` runs the strided DDIM update instead of ancestral
+    DDPM — conditioning/guidance/projection compose identically, and
+    ``sampling_timesteps`` becomes a strided subsequence of the trained
+    chain (fast planning at small quality cost).
     """
     schedule = diffusion.schedule
-    ts = default_timesteps(diffusion.n_timesteps, sampling_timesteps)
+    if sampler == "ddim":
+        n = schedule.n_timesteps
+        s = n if sampling_timesteps is None else int(sampling_timesteps)
+        if s > n:
+            raise ValueError(f"sampling_timesteps ({s}) must be <= {n}")
+        import numpy as _np
+
+        taus = _np.unique(_np.linspace(0, n - 1, s).round().astype(_np.int64))
+        ts = jnp.asarray(taus[::-1].copy(), jnp.int32)
+        ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+    elif sampler == "ddpm":
+        ts = default_timesteps(diffusion.n_timesteps, sampling_timesteps)
+        ts_prev = None
+    else:
+        raise ValueError(f"Unknown sampler: {sampler}")
     transition_dim = diffusion.transition_dim
     horizon = diffusion.horizon
 
@@ -140,22 +161,54 @@ def make_sampler(
         step_noise = jax.random.normal(noise_key, (ts.shape[0],) + shape)
 
         def body(x, inputs):
-            t, noise = inputs
+            t, t_prev, noise = inputs
             t_batch = jnp.full((batch,), t, dtype=jnp.int32)
 
             model_out = diffusion.apply(params, x, t_batch)
-            mean, log_var = p_mean_variance(
-                model_out, schedule, x, t_batch,
-                clip_denoised=diffusion.clip_denoised,
-                predict_epsilon=diffusion.predict_epsilon,
-            )
 
-            if use_guidance:
-                grad = jax.grad(lambda x_: jnp.sum(guide_fn(x_, t_batch)))(x)
-                mean = mean + guide_weight * jnp.exp(log_var) * grad
-
-            nonzero = (t != 0).astype(x.dtype)
-            x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+            if sampler == "ddim":
+                # eps-space classifier guidance (standard form) + strided
+                # DDIM update; conditioning/projection identical to DDPM mode
+                acp = schedule.alphas_cumprod
+                if diffusion.predict_epsilon:
+                    eps = model_out
+                else:
+                    eps = (
+                        schedule.sqrt_recip_alphas_cumprod[t] * x - model_out
+                    ) / schedule.sqrt_recipm1_alphas_cumprod[t]
+                if use_guidance:
+                    grad = jax.grad(lambda x_: jnp.sum(guide_fn(x_, t_batch)))(x)
+                    eps = eps - guide_weight * jnp.sqrt(1.0 - acp[t]) * grad
+                x0 = (
+                    schedule.sqrt_recip_alphas_cumprod[t] * x
+                    - schedule.sqrt_recipm1_alphas_cumprod[t] * eps
+                )
+                if diffusion.clip_denoised:
+                    x0 = jnp.clip(x0, -1.0, 1.0)
+                    eps = (
+                        schedule.sqrt_recip_alphas_cumprod[t] * x - x0
+                    ) / schedule.sqrt_recipm1_alphas_cumprod[t]
+                a_t = acp[t]
+                a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+                sigma = (
+                    ddim_eta
+                    * jnp.sqrt((1 - a_prev) / (1 - a_t))
+                    * jnp.sqrt(1 - a_t / a_prev)
+                )
+                dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+                x_next = jnp.sqrt(a_prev) * x0 + dir_xt
+                x_next = x_next + jnp.where(t_prev >= 0, sigma, 0.0) * noise
+            else:
+                mean, log_var = p_mean_variance(
+                    model_out, schedule, x, t_batch,
+                    clip_denoised=diffusion.clip_denoised,
+                    predict_epsilon=diffusion.predict_epsilon,
+                )
+                if use_guidance:
+                    grad = jax.grad(lambda x_: jnp.sum(guide_fn(x_, t_batch)))(x)
+                    mean = mean + guide_weight * jnp.exp(log_var) * grad
+                nonzero = (t != 0).astype(x.dtype)
+                x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
             if use_projection:
                 alpha = projection_alpha(
@@ -176,7 +229,8 @@ def make_sampler(
             x_next = conditions.apply(x_next)
             return x_next, None
 
-        x, _ = lax.scan(body, x, (ts, step_noise))
+        tp = ts_prev if ts_prev is not None else jnp.zeros_like(ts)
+        x, _ = lax.scan(body, x, (ts, tp, step_noise))
         return x
 
     if not jit:

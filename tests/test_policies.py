@@ -275,3 +275,40 @@ def test_best_of_n_candidate_planning(diffusion, params, normalizer):
     scores1 = [score(p1) for _ in range(5)]
     scoresN = [score(pN) for _ in range(5)]
     assert np.mean(scoresN) <= np.mean(scores1) + 1e-6
+
+
+def test_ddim_sampler_mode(diffusion, params, normalizer):
+    """make_sampler(sampler='ddim'): conditioning respected, fewer steps,
+    projection composes."""
+    cond = conditions_for_initial_obs(jnp.full(OBS_DIM, 0.3), OBS_DIM, HORIZON, TRANS)
+    plan = make_sampler(diffusion, sampler="ddim", sampling_timesteps=4)
+    traj = plan(params, jax.random.PRNGKey(0), cond)
+    assert traj.shape == (1, HORIZON, TRANS)
+    np.testing.assert_allclose(np.asarray(traj[0, 0, :OBS_DIM]), 0.3, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(traj)))
+
+    # eta=0 determinism w.r.t. per-step noise stream: two rngs, same init
+    # cannot be tested through plan (init noise comes from rng); instead check
+    # ddim differs from ddpm but stays bounded
+    plan_ddpm = make_sampler(diffusion, sampling_timesteps=4)
+    t2 = plan_ddpm(params, jax.random.PRNGKey(0), cond)
+    assert not np.allclose(np.asarray(traj), np.asarray(t2))
+
+    # projection composes in ddim mode
+    from dadiff_tpu.dynamics.extractor import double_integrator_dynamics
+    from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
+
+    A, B = double_integrator_dynamics(0.1)
+    P = ProjectionMatrixBuilder(A, B, 4, 2).get_projection_matrix(HORIZON)
+    stats = NormStats.from_normalizer(normalizer)
+    spec = ProjectionSpec(state_dim=4, schedule="constant", strength=1.0)
+    plan_proj = make_sampler(diffusion, sampler="ddim", sampling_timesteps=4,
+                             projection=spec)
+    tp = plan_proj(params, jax.random.PRNGKey(1), cond, jnp.asarray(P), stats)
+    v_proj = float(projection_residual(tp, jnp.asarray(P), stats,
+                                       observation_dim=OBS_DIM, action_dim=ACT_DIM,
+                                       state_dim=4))
+    v_plain = float(projection_residual(traj, jnp.asarray(P), stats,
+                                        observation_dim=OBS_DIM, action_dim=ACT_DIM,
+                                        state_dim=4))
+    assert v_proj < v_plain
