@@ -312,3 +312,18 @@ def test_ddim_sampler_mode(diffusion, params, normalizer):
                                         observation_dim=OBS_DIM, action_dim=ACT_DIM,
                                         state_dim=4))
     assert v_proj < v_plain
+
+
+def test_goal_distance_scorer_unit():
+    from dadiff_tpu.guides.policies import goal_distance_scorer
+
+    # 3 candidates, horizon 2, D=8 (obs 6 = pos2+vel2+goal2, act 2)
+    trajs = jnp.zeros((3, 2, 8))
+    trajs = trajs.at[0, -1, 0:2].set(jnp.array([1.0, 1.0]))   # at goal
+    trajs = trajs.at[1, -1, 0:2].set(jnp.array([0.0, 0.0]))   # far
+    trajs = trajs.at[2, -1, 0:2].set(jnp.array([0.9, 1.1]))   # close
+    normed_obs = jnp.array([0.0, 0.0, 0.0, 0.0, 1.0, 1.0])
+    scores = goal_distance_scorer(trajs, normed_obs)
+    assert scores.shape == (3,)
+    assert int(jnp.argmin(scores)) == 0
+    assert float(scores[0]) < float(scores[2]) < float(scores[1])
