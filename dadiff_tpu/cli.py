@@ -83,9 +83,11 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--reset-optimizer", action="store_true")
     p.add_argument("--finetune-mode", action="store_true")
-    # Loss composition (reference train.py:63-67)
+    # Loss composition (reference train.py:63-67). The reference also accepts
+    # --value-guidance-weight but warns it is unimplemented (train.py:294-298);
+    # here value-function training is a real, separate entry point
+    # (dadiff-train-values), so the dead flag is not replicated.
     p.add_argument("--projection-weight", type=float, default=0.0)
-    p.add_argument("--value-guidance-weight", type=float, default=0.0)
     # Dynamics (reference train.py:70-75)
     p.add_argument("--env", type=str, default="PointMaze_UMaze-v3")
     p.add_argument("--dynamics-method", type=str, default="data-driven",
@@ -124,7 +126,8 @@ def train_main(argv=None) -> str:
     if args.config:
         from dadiff_tpu.utils.config import apply_config_defaults, load_experiment_config
 
-        apply_config_defaults(args, load_experiment_config(args.config), parser)
+        apply_config_defaults(args, load_experiment_config(args.config), parser,
+                              argv=argv)
 
     _select_device(args.device)
 
@@ -275,6 +278,7 @@ def train_main(argv=None) -> str:
         export_pt=not args.no_export_pt,
         skip_nonfinite=args.skip_nonfinite,
         val_batch=val_batch,
+        normalizer=dataset.normalizer,
     )
     print(f"model parameters: {count_parameters(trainer.state.params):,}")
 
@@ -292,7 +296,6 @@ def train_main(argv=None) -> str:
     final_config = {
         **trainer._config_dict(),
         "projection_weight": args.projection_weight,
-        "value_guidance_weight": args.value_guidance_weight,
         "loss_components": loss_names,
         "normalizer": args.normalizer,
         "dataset": args.dataset,
@@ -458,6 +461,28 @@ def build_eval_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _apply_stored_normalizer(dataset, config: dict) -> None:
+    """Prefer normalization stats persisted at train time over stats derived
+    from whatever --dataset is given at eval — a different or regenerated
+    dataset would otherwise silently shift obs/action scaling."""
+    stats = (config or {}).get("normalizer_stats")
+    if not stats:
+        return
+    from dadiff_tpu.datasets.normalization import DatasetNormalizer
+
+    arrays = {k: np.asarray(v, np.float32) for k, v in stats.items()}
+    stored = DatasetNormalizer.from_arrays(
+        arrays, normalizer_name=config.get("normalizer_name", "stored")
+    )
+    if stored.observation_dim != dataset.observation_dim or \
+            stored.action_dim != dataset.action_dim:
+        print("WARNING: checkpoint normalizer stats dims do not match the "
+              "eval dataset; falling back to dataset-derived stats")
+        return
+    dataset.normalizer = stored
+    print("using checkpoint-stored normalization stats")
+
+
 # env -> default dataset spec (reference evaluate.py:333-337 + hermetic paths)
 ENV_TO_DATASET = {
     "HalfCheetah-v5": "mujoco/halfcheetah/simple-v0",
@@ -503,6 +528,7 @@ def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
         max_path_length=1000,
         use_padding=True,
     )
+    _apply_stored_normalizer(dataset, checkpoint.get("config", {}))
     unet = TemporalUnet(
         transition_dim=dataset.transition_dim,
         dim=cfg["dim"],
@@ -550,6 +576,7 @@ def _load_model_native(base: str, dataset_spec: str, horizon_hint=None,
         max_path_length=1000,
         use_padding=True,
     )
+    _apply_stored_normalizer(dataset, cfg)
     unet = TemporalUnet(
         transition_dim=dataset.transition_dim,
         dim=cfg["dim"],
@@ -728,6 +755,22 @@ def download_main(argv=None) -> None:
         print(f"saved {len(episodes)} episodes -> {out}")
         return
 
+    if args.info and args.info.startswith(
+        ("synthetic:", "gym:", "npz:", "expert:")
+    ):
+        from dadiff_tpu.datasets.sources import load_episodes
+
+        episodes = load_episodes(args.info, n_episodes=args.episodes)
+        total_steps = sum(len(ep["actions"]) for ep in episodes)
+        print(f"Dataset: {args.info}")
+        print(f"  Total episodes: {len(episodes)}")
+        print(f"  Total steps: {total_steps}")
+        ep = episodes[0]
+        print(f"  observations: {np.asarray(ep['observations']).shape}")
+        print(f"  actions: {np.asarray(ep['actions']).shape}")
+        print(f"  rewards: {np.asarray(ep['rewards']).shape}")
+        return
+
     try:
         import minari
     except ImportError:
@@ -741,8 +784,21 @@ def download_main(argv=None) -> None:
         for name in sorted(remote):
             print(name)
     elif args.info:
+        # Reference parity: print totals + sample-episode shapes
+        # (reference scripts/download_data.py:50-87).
         ds = minari.load_dataset(args.info, download=True)
-        print(f"{args.info}: {len(ds)} episodes")
+        print(f"Dataset: {args.info}")
+        print(f"  Total episodes: {ds.total_episodes}")
+        print(f"  Total steps: {ds.total_steps}")
+        ep = next(iter(ds.iterate_episodes()))
+        obs = ep.observations
+        if isinstance(obs, dict):
+            for k, v in obs.items():
+                print(f"  observations[{k}]: {np.asarray(v).shape}")
+        else:
+            print(f"  observations: {np.asarray(obs).shape}")
+        print(f"  actions: {np.asarray(ep.actions).shape}")
+        print(f"  rewards: {np.asarray(ep.rewards).shape}")
     elif args.dataset:
         minari.load_dataset(args.dataset, download=True)
         print(f"downloaded {args.dataset}")

@@ -136,3 +136,18 @@ class DatasetNormalizer:
             "action_mean": self.action_mean,
             "action_std": self.action_std,
         }
+
+    @classmethod
+    def from_arrays(
+        cls, stats: Dict[str, np.ndarray], normalizer_name: str = "stored"
+    ) -> "DatasetNormalizer":
+        """Rebuild from :meth:`as_arrays` output (checkpoint-stored stats, so
+        eval normalization matches training exactly regardless of the dataset
+        present at eval time)."""
+        self = cls.__new__(cls)
+        self.obs = AffineNormalizer(stats["obs_mean"], stats["obs_std"])
+        self.act = AffineNormalizer(stats["action_mean"], stats["action_std"])
+        self.observation_dim = self.obs.mean.shape[-1]
+        self.action_dim = self.act.mean.shape[-1]
+        self.normalizer_name = normalizer_name
+        return self

@@ -97,17 +97,51 @@ class NumericalDynamicsExtractor(DynamicsExtractor):
     """Finite-difference Jacobians around a linearization point
     (reference extractor.py:136-296; state injection via MuJoCo qpos/qvel)."""
 
+    def _qpos_qvel_layout(self, mj_model) -> Tuple[int, int, int]:
+        """(nq, nv, excluded) where ``excluded`` is the count of leading qpos
+        coordinates absent from the observation (MuJoCo locomotion envs drop
+        the root x — e.g. Hopper nq=6, nv=6, obs=11). Mirrors the reference's
+        per-env injection (reference extractor.py:189-216) generically."""
+        nq, nv = int(mj_model.nq), int(mj_model.nv)
+        excluded = nq + nv - self.state_dim
+        if excluded < 0 or excluded > nq:
+            raise ValueError(
+                f"{self.env_name}: cannot map state_dim={self.state_dim} onto "
+                f"qpos({nq})/qvel({nv})"
+            )
+        return nq, nv, excluded
+
     def _set_state(self, state: np.ndarray):
+        """Inject a flat observation-layout state into the simulator.
+
+        The split point is derived from the MuJoCo model's nq/nv — NOT
+        ``state_dim // 2``, which is wrong for odd-state envs (Hopper: 11 =
+        qpos 5-visible + qvel 6). Leading excluded qpos coords (root x) keep
+        their current simulator values.
+        """
+        # Maze envs wrap the simulated point mass in `point_env` — that inner
+        # env owns set_state (gymnasium-robotics PointMazeEnv).
         unwrapped = self.env.unwrapped
-        if hasattr(unwrapped, "set_state"):
+        unwrapped = getattr(unwrapped, "point_env", unwrapped)
+        mj_model = getattr(unwrapped, "model", None)
+        state = np.asarray(state, dtype=np.float64)
+
+        if hasattr(unwrapped, "set_state") and mj_model is not None:
+            nq, nv, excluded = self._qpos_qvel_layout(mj_model)
+            qpos = np.array(unwrapped.data.qpos, dtype=np.float64)
+            qpos[excluded:] = state[: nq - excluded]
+            qvel = state[nq - excluded : nq - excluded + nv]
+            unwrapped.set_state(qpos, qvel)
+        elif hasattr(unwrapped, "set_state"):
             n_qpos = self.state_dim // 2
             unwrapped.set_state(state[:n_qpos], state[n_qpos:])
-        elif hasattr(unwrapped, "data"):
-            unwrapped.data.qpos[:2] = state[:2]
-            unwrapped.data.qvel[:2] = state[2:4] if len(state) >= 4 else [0, 0]
+        elif hasattr(unwrapped, "data") and mj_model is not None:
+            nq, nv, excluded = self._qpos_qvel_layout(mj_model)
+            unwrapped.data.qpos[excluded:] = state[: nq - excluded]
+            unwrapped.data.qvel[:] = state[nq - excluded : nq - excluded + nv]
             import mujoco
 
-            mujoco.mj_forward(unwrapped.model, unwrapped.data)
+            mujoco.mj_forward(mj_model, unwrapped.data)
         else:
             raise NotImplementedError(f"Cannot set state for {self.env_name}")
 
@@ -117,8 +151,8 @@ class NumericalDynamicsExtractor(DynamicsExtractor):
         return self._extract_state(obs)
 
     def get_dynamics(self, linearization_point=None, eps: float = 1e-4):
+        obs, _ = self.env.reset(seed=0)  # gymnasium requires reset before step
         if linearization_point is None:
-            obs, _ = self.env.reset()
             linearization_point = self._extract_state(obs)
             if len(linearization_point) == 4:
                 linearization_point[2:] = 0.0  # zero velocity (reference :157-159)

@@ -138,11 +138,21 @@ class PointMazeJax:
     # -- API -------------------------------------------------------------------
     def reset(self, rng: jax.Array, batch_size: int = 1) -> Tuple[PointMazeState, jax.Array]:
         """Sample start/goal uniformly over free cells + position noise
-        (gymnasium-robotics semantics)."""
+        (gymnasium-robotics semantics).
+
+        The goal cell is drawn distinct from the start cell: the real env's
+        ``generate_reset_pos`` rejects reset positions within 0.5*scaling of
+        the goal (gymnasium_robotics maze_v4). Distinct cells (centers >= 1
+        apart) with +-0.25 noise keep start-goal distance >= 0.5 > the 0.45
+        success threshold, so no episode begins trivially successful.
+        """
         centers = jnp.asarray(self._cell_centers())
+        n_cells = centers.shape[0]
         k1, k2, k3, k4 = jax.random.split(rng, 4)
-        start_idx = jax.random.randint(k1, (batch_size,), 0, centers.shape[0])
-        goal_idx = jax.random.randint(k2, (batch_size,), 0, centers.shape[0])
+        start_idx = jax.random.randint(k1, (batch_size,), 0, n_cells)
+        goal_idx = (
+            start_idx + jax.random.randint(k2, (batch_size,), 1, n_cells)
+        ) % n_cells
         pos = centers[start_idx] + jax.random.uniform(
             k3, (batch_size, 2), minval=-self.reset_noise, maxval=self.reset_noise
         )

@@ -10,9 +10,10 @@ batched jit call, amortizing both the round trip and the device compute
 Semantics note: episodes are seeded per-env (seed+i), so results are not
 episode-for-episode identical to the sequential protocol — use sequential
 `evaluate_policy` for reference-protocol A/B numbers and this for fast
-sweeps. Best-of-N candidate selection (policy.n_candidates) applies only to
-the sequential path; here the batch dimension is already spent on episodes
-(the fully-fused combination of both lives in envs/rollout.py).
+sweeps. Best-of-N candidate selection (policy.n_candidates) is supported:
+each replan samples N*K plans in one batched call and keeps the best per
+env under policy.candidate_scorer (the fully-fused on-device version lives
+in envs/rollout.py).
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from dadiff_tpu.guides.policies import GuidedPolicy
 from dadiff_tpu.guides.sampling import Conditions
@@ -77,6 +79,8 @@ def evaluate_policy_batched(
     success = np.zeros(n_episodes, dtype=bool)
     done = np.zeros(n_episodes, dtype=bool)
 
+    n_cand = max(1, getattr(policy, "n_candidates", 1))
+
     step = 0
     while step < max_steps and not done.all():
         # one batched replan for all live envs (plan for all; cheap)
@@ -84,11 +88,29 @@ def evaluate_policy_batched(
             [policy._process_observation(o) for o in obs_list], axis=0
         )
         normed = policy.normalizer.normalize_observations(processed)
-        cond = _batched_conditions(normed, obs_dim, horizon, trans_dim)
-        policy._rng, key = jax.random.split(policy._rng)
-        trajs = np.asarray(
-            policy._plan(policy.params, key, cond, policy._P, policy._stats)
-        )  # (N, H, D)
+        if n_cand > 1:
+            # best-of-N per env: (N*K) plans in one call, best per env kept
+            tiled = np.repeat(normed, n_cand, axis=0)
+            cond = _batched_conditions(tiled, obs_dim, horizon, trans_dim)
+            policy._rng, key = jax.random.split(policy._rng)
+            all_trajs = policy._plan(
+                policy.params, key, cond, policy._P, policy._stats
+            ).reshape(n_episodes, n_cand, horizon, trans_dim)
+            scores = jax.vmap(policy.candidate_scorer)(
+                all_trajs, jnp.asarray(normed)
+            )  # (N, K)
+            best = jnp.argmin(scores, axis=1)
+            trajs = np.asarray(
+                jnp.take_along_axis(
+                    all_trajs, best[:, None, None, None], axis=1
+                )[:, 0]
+            )  # (N, H, D)
+        else:
+            cond = _batched_conditions(normed, obs_dim, horizon, trans_dim)
+            policy._rng, key = jax.random.split(policy._rng)
+            trajs = np.asarray(
+                policy._plan(policy.params, key, cond, policy._P, policy._stats)
+            )  # (N, H, D)
         actions_norm = trajs[:, start_t : start_t + n_buffered, a0:a1]
 
         for j in range(n_buffered):

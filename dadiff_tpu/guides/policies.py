@@ -257,6 +257,24 @@ class DynamicsAwarePolicy(GuidedPolicy):
                 strength=projection_strength,
                 parity_mode=parity_mode,
             )
+        elif not parity_mode:
+            # Without these the policy would silently sample like plain
+            # guided while reporting itself dynamics-aware. Only
+            # parity_mode=True (reproducing the reference's as-implemented
+            # no-projection sampling) may omit them.
+            missing = [
+                name
+                for name, v in (
+                    ("projection_matrix", projection_matrix),
+                    ("normalizer", normalizer),
+                )
+                if v is None
+            ]
+            raise ValueError(
+                f"DynamicsAwarePolicy requires {' and '.join(missing)} to "
+                f"apply projection; pass parity_mode=True for the reference's "
+                f"no-projection sampling"
+            )
 
         super().__init__(
             diffusion,

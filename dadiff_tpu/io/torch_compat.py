@@ -286,6 +286,10 @@ def save_pt_checkpoint(
             "action_dim": config["action_dim"],
             "n_timesteps": config["n_timesteps"],
             "beta_schedule": config["beta_schedule"],
+            # extra keys beyond the reference schema (ignored by the
+            # reference loader): normalization stats for exact eval reuse
+            **{k: config[k] for k in ("normalizer_name", "normalizer_stats")
+               if k in config},
         },
     }
     if ema_params is not None:

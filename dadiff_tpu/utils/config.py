@@ -66,10 +66,24 @@ def load_experiment_config(path: str) -> Dict[str, Any]:
     return flat
 
 
-def apply_config_defaults(args, config: Dict[str, Any], parser) -> None:
+def apply_config_defaults(args, config: Dict[str, Any], parser, argv=None) -> None:
     """Overlay config values onto argparse results: config wins over parser
-    defaults, explicit CLI flags win over config."""
-    defaults = {a.dest: parser.get_default(a.dest) for a in parser._actions}
+    defaults, explicit CLI flags win over config.
+
+    Explicitness is determined by scanning the actual command line for each
+    option string (not by comparing against parser defaults, which cannot
+    distinguish ``--dim 128`` from an unpassed ``--dim`` when 128 is the
+    default)."""
+    import sys
+
+    if argv is None:
+        argv = sys.argv[1:]
+    explicit = set()
+    for action in parser._actions:
+        for opt in action.option_strings:
+            if any(a == opt or a.startswith(opt + "=") for a in argv):
+                explicit.add(action.dest)
+                break
     for key, value in config.items():
-        if hasattr(args, key) and getattr(args, key) == defaults.get(key):
+        if hasattr(args, key) and key not in explicit:
             setattr(args, key, value)

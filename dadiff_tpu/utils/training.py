@@ -180,6 +180,7 @@ class Trainer:
         export_pt: bool = True,
         skip_nonfinite: bool = False,
         val_batch=None,
+        normalizer=None,
     ):
         self.diffusion = diffusion
         self.train_loader = train_loader
@@ -193,6 +194,7 @@ class Trainer:
         self.loss_names = loss_names or ["diffusion"]
         self.mesh = mesh
         self.export_pt = export_pt
+        self.normalizer = normalizer
 
         os.makedirs(log_dir, exist_ok=True)
         self._log_file = open(os.path.join(log_dir, "training.log"), "a")
@@ -329,7 +331,7 @@ class Trainer:
     # -- checkpointing (reference training.py:191-224 schema) -----------------
     def _config_dict(self) -> Dict[str, Any]:
         d = self.diffusion
-        return {
+        cfg = {
             "horizon": d.horizon,
             "observation_dim": d.observation_dim,
             "action_dim": d.action_dim,
@@ -338,6 +340,18 @@ class Trainer:
             "dim": d.model.dim,
             "dim_mults": list(d.model.dim_mults),
         }
+        # Persist normalization stats so eval rebuilds the exact training
+        # normalizer instead of re-deriving it from whatever --dataset is
+        # given at eval time (which silently shifts scaling if it differs).
+        if self.normalizer is not None and hasattr(self.normalizer, "as_arrays"):
+            cfg["normalizer_name"] = getattr(
+                self.normalizer, "normalizer_name", "stored"
+            )
+            cfg["normalizer_stats"] = {
+                k: np.asarray(v).tolist()
+                for k, v in self.normalizer.as_arrays().items()
+            }
+        return cfg
 
     def save_checkpoint(self, epoch: int, final: bool = False) -> str:
         self.global_step = int(self.state.step)

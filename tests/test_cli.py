@@ -75,8 +75,10 @@ training:
 """
     )
     parser = build_train_parser()
-    args = parser.parse_args(["--config", str(config), "--dim", "32"])
-    apply_config_defaults(args, load_experiment_config(str(config)), parser)
+    argv = ["--config", str(config), "--dim", "32"]
+    args = parser.parse_args(argv)
+    apply_config_defaults(args, load_experiment_config(str(config)), parser,
+                          argv=argv)
     assert args.dataset == "synthetic:pointmaze:n=4,T=20"
     assert args.horizon == 8
     assert args.batch_size == 16
