@@ -444,6 +444,10 @@ def build_eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--parity-mode", action="store_true",
                    help="reproduce the reference's as-implemented sampling "
                         "(projection NOT applied during denoising)")
+    p.add_argument("--wall-aware", action="store_true",
+                   help="obstacle-aware projection: revert plan rows the "
+                        "projection drags into maze wall cells (PointMaze "
+                        "envs only)")
     p.add_argument("--use-ema", action="store_true",
                    help="evaluate the EMA weights if present")
     p.add_argument("--max-steps", type=int, default=1000)
@@ -459,6 +463,17 @@ def build_eval_parser() -> argparse.ArgumentParser:
                         "(~Nx faster; per-env seeding, not the sequential "
                         "reference protocol)")
     return p
+
+
+def maze_grid_for_env(env_name: str):
+    """Occupancy grid for a PointMaze env name (None if not a known maze)."""
+    from dadiff_tpu.envs.pointmaze_jax import MAZE_MAPS
+
+    name = env_name.lower()
+    for key in ("umaze", "medium", "large", "open"):
+        if key in name:
+            return MAZE_MAPS[key]
+    return None
 
 
 def _apply_stored_normalizer(dataset, config: dict) -> None:
@@ -681,6 +696,11 @@ def evaluate_main(argv=None) -> dict:
         P = ProjectionMatrixBuilder(A, B, state_dim, action_dim).get_projection_matrix(
             diffusion.horizon
         )
+        wall_grid = None
+        if args.wall_aware:
+            wall_grid = maze_grid_for_env(args.env)
+            if wall_grid is None:
+                raise SystemExit(f"--wall-aware: no maze map for {args.env}")
         policy = DynamicsAwarePolicy(
             diffusion,
             projection_matrix=P,
@@ -692,6 +712,7 @@ def evaluate_main(argv=None) -> dict:
             action_horizon=args.action_horizon,
             sampling_timesteps=sampling_timesteps,
             parity_mode=args.parity_mode,
+            wall_grid=wall_grid,
             seed=args.seed,
             n_candidates=args.n_candidates,
             sampler=args.sampler,

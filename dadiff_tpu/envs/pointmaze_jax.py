@@ -52,10 +52,10 @@ MAZE_MAPS = {
     ],
     "large": [
         [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
-        [1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1],
-        [1, 0, 1, 1, 0, 1, 1, 0, 1, 1, 0, 1],
         [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1],
-        [1, 0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1],
+        [1, 0, 1, 1, 0, 1, 0, 1, 0, 1, 0, 1],
+        [1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1],
+        [1, 0, 1, 1, 1, 1, 0, 1, 1, 1, 0, 1],
         [1, 0, 0, 1, 0, 1, 0, 0, 0, 0, 0, 1],
         [1, 1, 0, 1, 0, 1, 0, 1, 0, 1, 1, 1],
         [1, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1],

@@ -241,6 +241,7 @@ class DynamicsAwarePolicy(GuidedPolicy):
         action_horizon: Optional[int] = None,
         sampling_timesteps: Optional[int] = None,
         parity_mode: bool = False,
+        wall_grid=None,
         seed: int = 0,
         **kwargs,
     ):
@@ -251,11 +252,14 @@ class DynamicsAwarePolicy(GuidedPolicy):
 
         spec = None
         if projection_matrix is not None and normalizer is not None:
+            if wall_grid is not None:  # hashable for the jit-closed spec
+                wall_grid = tuple(tuple(int(v) for v in row) for row in wall_grid)
             spec = ProjectionSpec(
                 state_dim=state_dim,
                 schedule=projection_schedule,
                 strength=projection_strength,
                 parity_mode=parity_mode,
+                wall_grid=wall_grid,
             )
         elif not parity_mode:
             # Without these the policy would silently sample like plain

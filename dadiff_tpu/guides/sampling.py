@@ -91,12 +91,18 @@ class ProjectionSpec:
         parity_mode: if True, build the sampler WITHOUT per-step projection,
             matching the reference's as-implemented behavior (its
             apply_projection is dead code) instead of its intended behavior.
+        wall_grid: optional occupancy grid (rows, cols) tuple-of-tuples
+            (1 = wall). When set, projection is obstacle-aware: rows the
+            projection pulls into wall cells revert to their unprojected
+            values (ops/projection.apply_projection). Stored as a tuple so
+            the spec stays hashable for jit closure.
     """
 
     state_dim: int
     schedule: str = "noise_schedule"
     strength: float = 1.0
     parity_mode: bool = False
+    wall_grid: Optional[Tuple[Tuple[int, ...], ...]] = None
 
 
 def make_sampler(
@@ -147,6 +153,11 @@ def make_sampler(
 
     use_projection = projection is not None and not projection.parity_mode
     use_guidance = guide_fn is not None and guide_weight > 0
+    wall_grid = (
+        jnp.asarray(projection.wall_grid, jnp.int32)
+        if use_projection and projection.wall_grid is not None
+        else None
+    )
 
     def plan(params, rng, conditions: Conditions, P=None, stats: NormStats = None):
         values, mask = conditions
@@ -223,6 +234,7 @@ def make_sampler(
                     observation_dim=diffusion.observation_dim,
                     action_dim=diffusion.action_dim,
                     state_dim=projection.state_dim,
+                    wall_grid=wall_grid,
                 )
 
             # re-impose hard conditions after every step (policies.py:109-110)

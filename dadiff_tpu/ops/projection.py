@@ -95,6 +95,22 @@ def projection_alpha(
     raise ValueError(f"Unknown projection schedule: {schedule}")
 
 
+def wall_violation_mask(
+    positions: jax.Array, wall_grid: jax.Array
+) -> jax.Array:
+    """(..., 2) physical xy -> bool mask, True where the position lies in a
+    wall cell. Grid layout follows gymnasium-robotics maze maps (origin at
+    maze center, y up / row down — envs/pointmaze_jax.py coordinates)."""
+    Hm, Wm = wall_grid.shape
+    col = jnp.clip(
+        jnp.floor(positions[..., 0] + Wm / 2.0).astype(jnp.int32), 0, Wm - 1
+    )
+    row = jnp.clip(
+        jnp.floor(Hm / 2.0 - positions[..., 1]).astype(jnp.int32), 0, Hm - 1
+    )
+    return wall_grid[row, col] == 1
+
+
 def apply_projection(
     x: jax.Array,
     P: jax.Array,
@@ -104,6 +120,7 @@ def apply_projection(
     observation_dim: int,
     action_dim: int,
     state_dim: int,
+    wall_grid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Project a normalized interleaved trajectory onto the dynamics subspace.
 
@@ -115,10 +132,17 @@ def apply_projection(
       5. renormalize and re-interleave; non-state obs dims (e.g. goals) pass
          through untouched.
 
+    Obstacle-aware extension (no reference counterpart): with ``wall_grid``,
+    any horizon row whose blended position falls inside a wall cell reverts
+    to its unprojected value — the linear subspace knows dynamics but not
+    obstacles, and in wall-dense mazes an unconstrained projection drags
+    plans through walls (the round-1 PointMaze_Medium regression).
+
     Args:
         x: (B, H, observation_dim + action_dim) normalized trajectory.
         P: ((H+1)n + Hm, (H+1)n + Hm) projection matrix.
         alpha: scalar (or ()-shaped traced) blend strength.
+        wall_grid: optional (rows, cols) int occupancy grid (1 = wall).
     """
     horizon = x.shape[1]
 
@@ -135,10 +159,17 @@ def apply_projection(
     x_proj = xc @ P
     xc = alpha * x_proj + (1.0 - alpha) * xc
 
-    states_phys, actions_phys = from_concatenated(xc, horizon, state_dim, action_dim)
+    new_states, new_actions = from_concatenated(xc, horizon, state_dim, action_dim)
 
-    states_norm = (states_phys - s_mean) / s_std
-    act_norm = (actions_phys - stats.action_mean) / stats.action_std
+    if wall_grid is not None:
+        # revert rows the projection dragged into walls (state + action)
+        bad = wall_violation_mask(new_states[..., :2], wall_grid)  # (B, H)
+        keep = ~bad
+        new_states = jnp.where(keep[..., None], new_states, states_phys)
+        new_actions = jnp.where(keep[..., None], new_actions, actions_phys)
+
+    states_norm = (new_states - s_mean) / s_std
+    act_norm = (new_actions - stats.action_mean) / stats.action_std
 
     obs_norm = jnp.concatenate([states_norm, rest_obs], axis=-1)
     return jnp.concatenate([obs_norm, act_norm], axis=-1)
