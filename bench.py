@@ -4,14 +4,21 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Headline metric: denoise steps/sec/chip for the canonical PointMaze U-Net
-(h=32, dim=128, mults (1,2,4), T=100 — reference README.md:77-90 config) at
-the reference's eval batch size of 1 (policies.py:217). The baseline is the
-reference torch implementation measured on this machine's CPU
-(BASELINE_MEASURED.json; the reference publishes no numbers, BASELINE.md).
+Headline metric: SUSTAINED batch-1 denoise steps/sec/chip for the canonical
+PointMaze U-Net (h=32, dim=128, mults (1,2,4), T=100 — reference
+README.md:77-90 config) running the whole-chain Pallas megakernel
+(ops/pallas_unet.py). The baseline is the reference torch implementation
+measured on this machine's CPU (BASELINE_MEASURED.json; the reference
+publishes no numbers, BASELINE.md).
 
-Extra fields report batched planner throughput (the serving configuration —
-BASELINE.json configs[4]) and the guided sampler with conditioning.
+Measurement note: this host reaches the TPU through a tunnel with ~25-30 ms
+fixed RPC latency per dispatch, which would swamp any single-call timing
+(a full 100-step chain takes 1.5 ms on-device). Sustained throughput is
+therefore measured as the MARGINAL cost of a chain: one jitted program runs
+K back-to-back chains (lax.scan), and per-chain time = (t(K2) - t(K1)) /
+(K2 - K1). That is the chip's real rate — and the shape production serving
+takes (pipelined plans). Single-call latency including the tunnel is
+reported alongside.
 """
 
 import json
@@ -22,8 +29,6 @@ import time
 
 
 def median_time(fn, n=7):
-    """Median wall-clock of n fully-synchronized calls (the axon tunnel has
-    high per-call variance; median is stable)."""
     times = []
     for i in range(n):
         t0 = time.time()
@@ -36,6 +41,7 @@ def median_time(fn, n=7):
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from dadiff_tpu.cli import enable_compilation_cache
 
@@ -43,7 +49,9 @@ def main():
 
     from dadiff_tpu.guides.sampling import conditions_for_initial_obs, make_sampler
     from dadiff_tpu.models.diffusion import GaussianDiffusion
+    from dadiff_tpu.models.fast_sampler import fast_p_sample_loop
     from dadiff_tpu.models.temporal_unet import TemporalUnet
+    from dadiff_tpu.ops.pallas_unet import pallas_p_sample_loop
 
     n_timesteps = 100
     unet = TemporalUnet(transition_dim=8, dim=128, dim_mults=(1, 2, 4))
@@ -51,39 +59,53 @@ def main():
         model=unet, horizon=32, observation_dim=6, action_dim=2,
         n_timesteps=n_timesteps,
     )
-    params = diffusion.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(diffusion.init_params(jax.random.PRNGKey(0)))
+    shape = (1, 32, 8)
 
-    # headline: batch-1 full reverse chain via the latency-tuned sampler
-    # (hoisted time-MLP/coefficients; equivalence-tested vs the standard path
-    # in tests/test_fast_sampler.py)
-    from dadiff_tpu.models.fast_sampler import fast_p_sample_loop
+    def multi_chain(K, chain_fn):
+        """One jitted program running K chains back-to-back."""
+        def multi(p, rng):
+            def body(acc, key):
+                return acc + jnp.sum(chain_fn(p, key)), None
+            acc, _ = lax.scan(body, jnp.asarray(0.0), jax.random.split(rng, K))
+            return acc
+        return jax.jit(multi)
 
-    loop_b1 = jax.jit(
-        lambda p, r: fast_p_sample_loop(
-            diffusion.model, p, diffusion.schedule, r, (1, 32, 8)
-        )
+    def sustained(chain_fn, k1=4, k2=16):
+        f1, f2 = multi_chain(k1, chain_fn), multi_chain(k2, chain_fn)
+        f1(params, jax.random.PRNGKey(0)).block_until_ready()
+        f2(params, jax.random.PRNGKey(0)).block_until_ready()
+        t1 = median_time(lambda i: f1(params, jax.random.PRNGKey(i)))
+        t2 = median_time(lambda i: f2(params, jax.random.PRNGKey(i)))
+        return (t2 - t1) / (k2 - k1)
+
+    # headline: the Pallas whole-chain megakernel, batch-1, sustained
+    mega = lambda p, r: pallas_p_sample_loop(
+        unet, p, diffusion.schedule, r, shape
     )
-    loop_b1(params, jax.random.PRNGKey(0)).block_until_ready()  # compile
-    dt_b1 = median_time(lambda i: loop_b1(params, jax.random.PRNGKey(i)))
-    denoise_sps = n_timesteps / dt_b1
+    dt_mega = sustained(mega)
+    denoise_sps = n_timesteps / dt_mega
 
-    std_b1 = jax.jit(lambda p, r: diffusion.p_sample_loop(p, r, (1, 32, 8)))
-    std_b1(params, jax.random.PRNGKey(0)).block_until_ready()
-    dt_std = median_time(lambda i: std_b1(params, jax.random.PRNGKey(i)))
+    # single-call latency (includes this host's ~25-30 ms tunnel RPC)
+    mega_1 = jax.jit(mega)
+    mega_1(params, jax.random.PRNGKey(0)).block_until_ready()
+    dt_call = median_time(lambda i: mega_1(params, jax.random.PRNGKey(i)))
 
-    # serving: batched planner throughput
+    # XLA scan path (the general engine: arbitrary batch/guidance/projection)
+    xla = lambda p, r: fast_p_sample_loop(unet, p, diffusion.schedule, r, shape)
+    dt_xla = sustained(xla)
+
+    # serving: batched planner throughput (b=256), sustained
     batch = 256
-    loop_bn = jax.jit(lambda p, r: diffusion.p_sample_loop(p, r, (batch, 32, 8)))
-    loop_bn(params, jax.random.PRNGKey(0)).block_until_ready()
-    dt_bn = median_time(lambda i: loop_bn(params, jax.random.PRNGKey(i)), n=5)
+    bn = lambda p, r: diffusion.p_sample_loop(p, r, (batch, 32, 8))
+    dt_bn = sustained(bn, k1=1, k2=4)
     batched_sample_sps = n_timesteps * batch / dt_bn
 
-    # guided sampler (conditioning path used by policies)
+    # guided sampler (conditioning path used by policies), single call
     plan = make_sampler(diffusion)
     cond = conditions_for_initial_obs(jnp.zeros(6), 6, 32, 8)
     plan(params, jax.random.PRNGKey(0), cond).block_until_ready()
     dt_guided = median_time(lambda i: plan(params, jax.random.PRNGKey(i), cond))
-    guided_sps = n_timesteps / dt_guided
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     vs_baseline = None
@@ -96,13 +118,16 @@ def main():
             vs_baseline = denoise_sps / baseline_b1
 
     print(json.dumps({
-        "metric": "denoise steps/sec/chip (PointMaze U-Net h=32, batch=1)",
+        "metric": "sustained denoise steps/sec/chip (PointMaze U-Net h=32, "
+                  "batch=1, Pallas megakernel)",
         "value": round(denoise_sps, 1),
         "unit": "denoise steps/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "baseline_torch_cpu_batch1": baseline_b1,
-        "standard_sampler_steps_per_sec": round(n_timesteps / dt_std, 1),
-        "guided_sampler_steps_per_sec": round(guided_sps, 1),
+        "chain_ms_on_device": round(dt_mega * 1e3, 3),
+        "single_call_ms_incl_tunnel_rpc": round(dt_call * 1e3, 2),
+        "xla_scan_steps_per_sec": round(n_timesteps / dt_xla, 1),
+        "guided_sampler_call_ms": round(dt_guided * 1e3, 2),
         "batched_sample_steps_per_sec_b256": round(batched_sample_sps, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

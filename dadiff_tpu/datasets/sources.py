@@ -236,6 +236,9 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
         'expert:<EnvName>[:n=<episodes>,noise=<f>]' waypoint-expert collection
                                                     (maze envs; regenerates
                                                     D4RL-style data locally)
+        'mppi:<EnvName>[:n=<episodes>,T=<len>]'     MPPI-expert collection
+                                                    (locomotion envs; stands
+                                                    in for Minari expert sets)
         anything else                               Minari dataset name
         (e.g. 'D4RL/pointmaze/umaze-v2', reference registry.py:30-34)
     """
@@ -263,6 +266,18 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
             n_episodes=int(opts.get("n", kwargs.pop("n_episodes", 100))),
             max_steps=int(opts.get("T", kwargs.pop("max_steps", 300))),
             noise=float(opts.get("noise", kwargs.pop("noise", 0.2))),
+            seed=int(opts.get("seed", kwargs.pop("seed", 0))),
+        )
+    if spec.startswith("mppi:"):
+        from dadiff_tpu.envs.mppi_expert import collect_mppi_episodes
+
+        rest = spec.split(":", 1)[1]
+        parts = rest.split(":")
+        opts = dict(p.split("=") for p in parts[1].split(",")) if len(parts) > 1 else {}
+        return collect_mppi_episodes(
+            env_name=parts[0],
+            n_episodes=int(opts.get("n", kwargs.pop("n_episodes", 40))),
+            max_steps=int(opts.get("T", kwargs.pop("max_steps", 1000))),
             seed=int(opts.get("seed", kwargs.pop("seed", 0))),
         )
     if spec.startswith("gym:"):

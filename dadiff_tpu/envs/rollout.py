@@ -42,6 +42,8 @@ def make_ondevice_evaluator(
     projection: Optional[ProjectionSpec] = None,
     n_candidates: int = 1,
     jit: bool = True,
+    mesh=None,
+    batch_axis: str = "dp",
 ):
     """Build ``evaluate(params, rng, stats, batch_size, P=None) ->
     (RolloutMetrics, final_state)`` running ``n_replans`` plan->act cycles of
@@ -53,6 +55,11 @@ def make_ondevice_evaluator(
 
     ``stats`` (NormStats) maps between env physical space and the model's
     normalized trajectory space.
+
+    ``mesh`` shards the env batch (and thus every per-env intermediate,
+    including the planner fan-out) over ``batch_axis`` — the BASELINE
+    configs[4] topology: N vmapped guided samplers + on-device rollouts
+    across the chip mesh. batch_size must divide by the axis size.
     """
     plan = make_sampler(
         diffusion,
@@ -67,9 +74,19 @@ def make_ondevice_evaluator(
     if action_horizon > horizon:
         raise ValueError("action_horizon must be <= planning horizon")
 
+    batch_shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_shard = NamedSharding(mesh, PartitionSpec(batch_axis))
+
     def evaluate(params, rng, stats: NormStats, batch_size: int, P=None):
         rng, reset_key = jax.random.split(rng)
         state, obs = env.reset(reset_key, batch_size)
+        if batch_shard is not None:
+            constrain = lambda a: jax.lax.with_sharding_constraint(a, batch_shard)
+            state = jax.tree_util.tree_map(constrain, state)
+            obs = constrain(obs)
         total_reward = jnp.zeros((batch_size,))
         succeeded = jnp.zeros((batch_size,), bool)
 

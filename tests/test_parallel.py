@@ -130,3 +130,83 @@ def test_batched_planner_sharded(diffusion):
     assert len(traj.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(traj[:, 0, :6]), np.asarray(obs), atol=1e-5)
     assert np.all(np.isfinite(np.asarray(traj)))
+
+
+def test_planner_scale_1024_dp8(diffusion):
+    """BASELINE.json configs[4]: 1024 vmapped guided samplers sharded dp=8,
+    with measured dp=1 vs dp=8 wall-clock logged (VERDICT round-1 #6)."""
+    import time
+
+    params = diffusion.init_params(jax.random.PRNGKey(0))
+    obs = jnp.tile(jnp.linspace(-1, 1, 6)[None], (1024, 1))
+    cond = conditions_for_initial_obs(obs, 6, 8, 8)
+
+    from dadiff_tpu.guides.sampling import make_sampler
+
+    single = make_sampler(diffusion, sampling_timesteps=5)
+
+    def timed(fn, *args):
+        fn(*args).block_until_ready()  # compile
+        t0 = time.time()
+        out = fn(*args)
+        out.block_until_ready()
+        return out, time.time() - t0
+
+    traj1, dt1 = timed(single, params, jax.random.PRNGKey(2), cond)
+
+    mesh = make_mesh()
+    planner = make_batched_planner(diffusion, mesh, sampling_timesteps=5)
+    traj8, dt8 = timed(planner, params, jax.random.PRNGKey(2), cond)
+
+    assert traj8.shape == (1024, 8, 8)
+    assert len(traj8.sharding.device_set) == 8
+    assert np.all(np.isfinite(np.asarray(traj8)))
+    np.testing.assert_allclose(
+        np.asarray(traj8[:, 0, :6]), np.asarray(obs), atol=1e-5
+    )
+    print(f"\n1024-planner wall-clock: dp=1 {dt1*1e3:.0f} ms, "
+          f"dp=8 {dt8*1e3:.0f} ms (virtual CPU mesh)")
+
+
+def test_ondevice_rollout_under_mesh(diffusion):
+    """On-device plan->step->replan with the env batch sharded over dp=8
+    (BASELINE configs[4] north-star loop under a mesh)."""
+    import time
+
+    from dadiff_tpu.envs.pointmaze_jax import PointMazeJax
+    from dadiff_tpu.envs.rollout import make_ondevice_evaluator
+    from dadiff_tpu.ops.projection import NormStats
+
+    env = PointMazeJax(map_name="umaze")
+    params = diffusion.init_params(jax.random.PRNGKey(0))
+    stats = NormStats.identity(6, 2)
+    mesh = make_mesh()
+
+    ev_mesh = make_ondevice_evaluator(
+        diffusion, env, action_horizon=4, n_replans=2,
+        sampling_timesteps=5, mesh=mesh,
+    )
+    ev_single = make_ondevice_evaluator(
+        diffusion, env, action_horizon=4, n_replans=2, sampling_timesteps=5,
+    )
+
+    def timed(ev):
+        m, _ = ev(params, jax.random.PRNGKey(1), stats, 256)  # compile
+        jax.block_until_ready(m)
+        t0 = time.time()
+        m, state = ev(params, jax.random.PRNGKey(1), stats, 256)
+        jax.block_until_ready(m)
+        return m, state, time.time() - t0
+
+    m8, state8, dt8 = timed(ev_mesh)
+    m1, _, dt1 = timed(ev_single)
+
+    assert np.isfinite(float(m8.mean_reward))
+    assert 0.0 <= float(m8.success_rate) <= 1.0
+    assert len(state8.pos.sharding.device_set) == 8
+    # identical math regardless of sharding
+    assert float(m8.mean_final_distance) == pytest.approx(
+        float(m1.mean_final_distance), rel=1e-4
+    )
+    print(f"\n256-env rollout wall-clock: dp=1 {dt1*1e3:.0f} ms, "
+          f"dp=8 {dt8*1e3:.0f} ms (virtual CPU mesh)")
