@@ -328,6 +328,11 @@ def train_value_main(argv=None) -> str:
     p.add_argument("--log-dir", type=str, default="./logs/values")
     p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--reward", type=str, default="recorded",
+                   choices=["recorded", "goal-dense"],
+                   help="value target reward: recorded env reward, or dense "
+                        "negative goal distance synthesized from goal-concat "
+                        "observations (sparse-reward tasks like PointMaze)")
     args = p.parse_args(argv)
     _select_device(args.device)
 
@@ -340,10 +345,23 @@ def train_value_main(argv=None) -> str:
     from dadiff_tpu.models.value_net import ValueNet, value_loss
     from dadiff_tpu.ops.schedules import make_schedule
 
+    reward_fn = None
+    if args.reward == "goal-dense":
+        import numpy as np
+
+        def reward_fn(ep):
+            # goal-concat observation layout [x y vx vy gx gy] (maze envs):
+            # dense shaping r_t = -||pos_{t+1} - goal|| gives the value net a
+            # gradient everywhere, where the recorded reward is sparse/terminal
+            obs = np.asarray(ep["observations"], dtype=np.float64)
+            T = len(ep["actions"])
+            nxt = obs[1:T + 1] if len(obs) > T else obs[:T]
+            return -np.linalg.norm(nxt[:, 0:2] - nxt[:, 4:6], axis=-1)
+
     dataset = SequenceDataset(
         dataset_name=args.dataset, horizon=args.horizon,
         normalizer=args.normalizer, include_returns=True,
-        discount=args.discount,
+        discount=args.discount, reward_fn=reward_fn,
     )
     loader = create_dataloader(dataset, batch_size=args.batch_size, seed=args.seed)
     schedule = make_schedule(args.n_timesteps, args.beta_schedule)

@@ -35,6 +35,9 @@ class SequenceDataset:
         use_padding: pad episodes shorter than horizon by repeating the final
             transition so they still yield one window (evaluate.py:170).
         episodes: pre-loaded episode list (bypasses dataset_name).
+        reward_fn: optional callable(episode) -> (T,) rewards replacing the
+            recorded rewards for return-to-go targets (dense shaping for
+            sparse-reward tasks; only used when include_returns=True).
     """
 
     def __init__(
@@ -48,6 +51,7 @@ class SequenceDataset:
         max_episodes: Optional[int] = None,
         include_returns: bool = False,
         discount: float = 0.99,
+        reward_fn=None,
         **source_kwargs,
     ):
         if episodes is None:
@@ -87,9 +91,14 @@ class SequenceDataset:
 
             rtg = None
             if include_returns:
-                rewards = np.asarray(
-                    ep.get("rewards", np.zeros(T)), dtype=np.float64
-                )[:T]
+                if reward_fn is not None:
+                    # synthesized reward (e.g. dense goal-distance shaping when
+                    # the recorded env reward is sparse/terminal-only)
+                    rewards = np.asarray(reward_fn(ep), dtype=np.float64)[:T]
+                else:
+                    rewards = np.asarray(
+                        ep.get("rewards", np.zeros(T)), dtype=np.float64
+                    )[:T]
                 # discounted return-to-go per row (Diffuser-style value target)
                 rtg = np.zeros(T, dtype=np.float64)
                 acc = 0.0

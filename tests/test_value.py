@@ -44,6 +44,28 @@ def test_dataset_returns():
     assert ds._returns[first] > ds._returns[last]
 
 
+def test_dataset_reward_fn_override():
+    """reward_fn replaces recorded rewards for return-to-go targets (dense
+    goal-distance shaping for sparse-reward tasks)."""
+    def dense(ep):
+        obs = np.asarray(ep["observations"], dtype=np.float64)
+        T = len(ep["actions"])
+        nxt = obs[1:T + 1] if len(obs) > T else obs[:T]
+        return -np.linalg.norm(nxt[:, 0:2] - nxt[:, 4:6], axis=-1)
+
+    ds_sparse = SequenceDataset(
+        "synthetic:pointmaze:n=4,T=40", horizon=8, include_returns=True,
+    )
+    ds_dense = SequenceDataset(
+        "synthetic:pointmaze:n=4,T=40", horizon=8, include_returns=True,
+        reward_fn=dense,
+    )
+    # dense targets differ from recorded-reward targets and stay normalized
+    assert not np.allclose(ds_sparse._returns, ds_dense._returns)
+    assert abs(ds_dense._returns.mean()) < 0.1
+    assert np.all(np.isfinite(ds_dense._returns))
+
+
 def test_value_training_reduces_loss(vnet, rng):
     ds = SequenceDataset(
         "synthetic:pointmaze:n=6,T=40", horizon=8, include_returns=True
