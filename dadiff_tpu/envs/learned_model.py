@@ -1,0 +1,280 @@
+"""Learned neural dynamics for on-device locomotion rollouts.
+
+The maze on-device loop (envs/rollout.py) steps an analytical pure-JAX env;
+locomotion has no such closed form and MJX is absent from this image, so the
+TPU-resident equivalent is a *learned simulator*: a small MLP trained on the
+same transition data the planner trains on, predicting normalized delta-obs
+from (obs, action). Rewards/termination are computed from observations with
+the env's documented reward structure (forward velocity is an observed qvel
+component for HalfCheetah/Hopper/Walker2d), so the whole plan->step->replan
+loop runs on device with zero host syncs.
+
+No reference counterpart: the reference steps host MuJoCo per action
+(evaluate.py:235-240). Host-env MPC evaluation remains the ground-truth
+protocol (scripts/evaluate.py); this module is the throughput path and
+reports *model-based* (surrogate) returns.
+
+Observation layouts (gymnasium MuJoCo v5, exclude_current_positions=True):
+    HalfCheetah-v5: obs[0:8]=qpos[1:], obs[8:17]=qvel  -> x_vel = obs[8]
+    Hopper-v5:      obs[0:5]=qpos[1:], obs[5:11]=qvel  -> x_vel = obs[5]
+    Walker2d-v5:    obs[0:8]=qpos[1:], obs[8:17]=qvel  -> x_vel = obs[8]
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+
+class DynamicsMLP(nn.Module):
+    """(obs, action) -> delta_obs, all in normalized space."""
+
+    obs_dim: int
+    hidden: Tuple[int, ...] = (256, 256)
+
+    @nn.compact
+    def __call__(self, obs: jax.Array, act: jax.Array) -> jax.Array:
+        x = jnp.concatenate([obs, act], axis=-1)
+        for h in self.hidden:
+            x = nn.swish(nn.Dense(h)(x))
+        return nn.Dense(self.obs_dim)(x)
+
+
+class ModelStats(NamedTuple):
+    """Normalization statistics for the learned simulator (device arrays)."""
+
+    obs_mean: jax.Array
+    obs_std: jax.Array
+    act_mean: jax.Array
+    act_std: jax.Array
+    delta_mean: jax.Array
+    delta_std: jax.Array
+
+
+def _transitions(episodes: Sequence[dict]) -> Tuple[np.ndarray, ...]:
+    obs, act, nxt = [], [], []
+    for ep in episodes:
+        o = np.asarray(ep["observations"], np.float32)
+        a = np.asarray(ep["actions"], np.float32)
+        T = min(len(a), len(o) - 1)
+        obs.append(o[:T])
+        act.append(a[:T])
+        nxt.append(o[1 : T + 1])
+    return np.concatenate(obs), np.concatenate(act), np.concatenate(nxt)
+
+
+def train_dynamics_model(
+    episodes: Sequence[dict],
+    *,
+    hidden: Tuple[int, ...] = (256, 256),
+    n_steps: int = 2000,
+    batch_size: int = 1024,
+    lr: float = 1e-3,
+    val_fraction: float = 0.1,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Fit a DynamicsMLP to episode transitions.
+
+    Returns (model, params, ModelStats, metrics) where metrics includes the
+    held-out one-step R^2 per observation dimension (min and mean).
+    """
+    import optax
+
+    obs, act, nxt = _transitions(episodes)
+    delta = nxt - obs
+    n = len(obs)
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    n_val = max(1, int(n * val_fraction))
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+    def stats_of(x):
+        return x.mean(0), x.std(0) + 1e-6
+
+    om, os_ = stats_of(obs[train_idx])
+    am, as_ = stats_of(act[train_idx])
+    dm, ds = stats_of(delta[train_idx])
+    stats = ModelStats(*(jnp.asarray(v) for v in (om, os_, am, as_, dm, ds)))
+
+    obs_n = (obs - om) / os_
+    act_n = (act - am) / as_
+    delta_n = (delta - dm) / ds
+
+    model = DynamicsMLP(obs_dim=obs.shape[-1], hidden=hidden)
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, obs.shape[-1])),
+        jnp.zeros((1, act.shape[-1])),
+    )["params"]
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, o, a, d):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, o, a)
+            return jnp.mean((pred - d) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    tr_obs = jnp.asarray(obs_n[train_idx])
+    tr_act = jnp.asarray(act_n[train_idx])
+    tr_delta = jnp.asarray(delta_n[train_idx])
+    n_train = len(train_idx)
+    for i in range(n_steps):
+        idx = jnp.asarray(rng.randint(0, n_train, size=batch_size))
+        params, opt_state, loss = step(
+            params, opt_state, tr_obs[idx], tr_act[idx], tr_delta[idx]
+        )
+        if verbose and (i + 1) % 500 == 0:
+            print(f"dynamics step {i + 1}: loss={float(loss):.5f}", flush=True)
+
+    # held-out one-step R^2 in physical delta space
+    pred_n = model.apply(
+        {"params": params}, jnp.asarray(obs_n[val_idx]), jnp.asarray(act_n[val_idx])
+    )
+    pred = np.asarray(pred_n) * ds + dm
+    true = delta[val_idx]
+    ss_res = ((true - pred) ** 2).sum(0)
+    ss_tot = ((true - true.mean(0)) ** 2).sum(0) + 1e-12
+    r2 = 1.0 - ss_res / ss_tot
+    metrics = {"r2_min": float(r2.min()), "r2_mean": float(r2.mean())}
+    return model, params, stats, metrics
+
+
+# --- on-device reward/termination models (doc'd gymnasium v5 semantics) ---
+
+def halfcheetah_reward_done(obs, next_obs, action):
+    x_vel = next_obs[..., 8]
+    reward = x_vel - 0.1 * jnp.sum(action**2, axis=-1)
+    return reward, jnp.zeros_like(x_vel, bool)
+
+
+def hopper_reward_done(obs, next_obs, action):
+    x_vel = next_obs[..., 5]
+    z, angle = next_obs[..., 0], next_obs[..., 1]
+    healthy = (z > 0.7) & (jnp.abs(angle) < 0.2)
+    reward = x_vel + 1.0 * healthy - 1e-3 * jnp.sum(action**2, axis=-1)
+    return reward, ~healthy
+
+
+def walker2d_reward_done(obs, next_obs, action):
+    x_vel = next_obs[..., 8]
+    z, angle = next_obs[..., 0], next_obs[..., 1]
+    healthy = (z > 0.8) & (z < 2.0) & (jnp.abs(angle) < 1.0)
+    reward = x_vel + 1.0 * healthy - 1e-3 * jnp.sum(action**2, axis=-1)
+    return reward, ~healthy
+
+
+REWARD_MODELS: Dict[str, Callable] = {
+    "halfcheetah": halfcheetah_reward_done,
+    "hopper": hopper_reward_done,
+    "walker": walker2d_reward_done,
+}
+
+
+def reward_model_for(env_name: str) -> Callable:
+    key = env_name.lower()
+    for name, fn in REWARD_MODELS.items():
+        if name in key:
+            return fn
+    raise ValueError(f"No on-device reward model for {env_name}")
+
+
+def make_ondevice_locomotion_evaluator(
+    diffusion,
+    model: DynamicsMLP,
+    model_params,
+    model_stats: ModelStats,
+    reward_done: Callable,
+    *,
+    action_horizon: int = 8,
+    n_replans: int = 25,
+    sampling_timesteps: Optional[int] = None,
+    jit: bool = True,
+    mesh=None,
+    batch_axis: str = "dp",
+):
+    """On-device plan->step->replan over the learned simulator.
+
+    Returns ``evaluate(params, rng, norm_stats, init_obs) -> (mean_return,
+    mean_length, returns)``: two nested lax.scans (replans x action steps)
+    with the DynamicsMLP as the env, zero host syncs. ``init_obs`` is a
+    (B, obs_dim) batch of real reset observations (host reset keeps the
+    initial-state distribution honest). Done-envs freeze (reward masked).
+
+    The returns are *model-based* (surrogate) — the learned simulator drifts
+    over long horizons; scripts/evaluate.py on the host env is ground truth.
+    """
+    from dadiff_tpu.guides.sampling import conditions_for_initial_obs, make_sampler
+
+    plan = make_sampler(
+        diffusion, sampling_timesteps=sampling_timesteps, jit=False
+    )
+    obs_dim = diffusion.observation_dim
+    act_dim = diffusion.action_dim
+    horizon = diffusion.horizon
+    trans_dim = diffusion.transition_dim
+    if action_horizon > horizon:
+        raise ValueError("action_horizon must be <= planning horizon")
+
+    batch_shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_shard = NamedSharding(mesh, PartitionSpec(batch_axis))
+
+    def model_step(obs, act):
+        o_n = (obs - model_stats.obs_mean) / model_stats.obs_std
+        a_n = (act - model_stats.act_mean) / model_stats.act_std
+        d_n = model.apply({"params": model_params}, o_n, a_n)
+        return obs + d_n * model_stats.delta_std + model_stats.delta_mean
+
+    def evaluate(params, rng, norm_stats, init_obs):
+        obs = jnp.asarray(init_obs)
+        if batch_shard is not None:
+            obs = jax.lax.with_sharding_constraint(obs, batch_shard)
+        batch = obs.shape[0]
+        total = jnp.zeros((batch,))
+        alive = jnp.ones((batch,), bool)
+        length = jnp.zeros((batch,))
+
+        def macro(carry, key):
+            obs, total, alive, length = carry
+            normed = (obs - norm_stats.obs_mean) / norm_stats.obs_std
+            cond = conditions_for_initial_obs(normed, obs_dim, horizon, trans_dim)
+            traj = plan(params, key, cond)
+            acts_n = traj[:, :action_horizon, obs_dim : obs_dim + act_dim]
+            acts = acts_n * norm_stats.action_std + norm_stats.action_mean
+
+            def env_step(inner, a):
+                obs, total, alive, length = inner
+                nxt = model_step(obs, a)
+                reward, done = reward_done(obs, nxt, a)
+                total = total + reward * alive
+                length = length + alive
+                alive = alive & ~done
+                # frozen envs keep their last obs (masked step)
+                obs = jnp.where(alive[:, None], nxt, obs)
+                return (obs, total, alive, length), None
+
+            (obs, total, alive, length), _ = jax.lax.scan(
+                env_step, (obs, total, alive, length), jnp.swapaxes(acts, 0, 1)
+            )
+            return (obs, total, alive, length), None
+
+        keys = jax.random.split(rng, n_replans)
+        (obs, total, alive, length), _ = jax.lax.scan(
+            macro, (obs, total, alive, length), keys
+        )
+        return jnp.mean(total), jnp.mean(length), total
+
+    if jit:
+        return jax.jit(evaluate)
+    return evaluate

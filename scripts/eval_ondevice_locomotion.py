@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""On-device locomotion evaluation over a learned neural simulator.
+
+The locomotion counterpart of eval_ondevice.py: MJX is absent from this
+image, so the TPU-resident environment is a DynamicsMLP fitted to the same
+transition data the planner trained on (envs/learned_model.py). The whole
+plan->step->replan loop (reverse diffusion + simulator step + reward) is one
+jitted program over a batch of environments; initial observations come from
+real host-env resets so the start-state distribution is honest.
+
+Returns are MODEL-BASED (surrogate): the learned simulator drifts over long
+horizons. scripts/evaluate.py on the host env remains the ground-truth
+protocol; this is the throughput path.
+
+    python scripts/eval_ondevice_locomotion.py \
+        --checkpoint checkpoints/hc/.../checkpoint_step_N.pt \
+        --dataset npz:data/halfcheetah_mppi.npz --env HalfCheetah-v5 \
+        --batch 128 --n-replans 25 --action-horizon 8
+"""
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="On-device locomotion eval "
+                                            "(learned simulator)")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--dataset", type=str, required=True,
+                   help="episode spec: trains the simulator + the normalizer")
+    p.add_argument("--env", type=str, default="HalfCheetah-v5")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--n-replans", type=int, default=25)
+    p.add_argument("--action-horizon", type=int, default=8)
+    p.add_argument("--sampling-timesteps", type=int, default=None)
+    p.add_argument("--model-steps", type=int, default=3000,
+                   help="dynamics-MLP training steps")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
+    args = p.parse_args(argv)
+
+    from dadiff_tpu.cli import _select_device, load_model
+
+    _select_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dadiff_tpu.datasets.sources import load_episodes
+    from dadiff_tpu.envs.learned_model import (
+        make_ondevice_locomotion_evaluator,
+        reward_model_for,
+        train_dynamics_model,
+    )
+    from dadiff_tpu.ops.projection import NormStats
+
+    diffusion, params, dataset = load_model(args.checkpoint, args.dataset)
+    stats = NormStats.from_normalizer(dataset.normalizer)
+
+    episodes = load_episodes(args.dataset)
+    print(f"fitting simulator on {len(episodes)} episodes ...", flush=True)
+    model, mparams, mstats, metrics = train_dynamics_model(
+        episodes, n_steps=args.model_steps, seed=args.seed, verbose=True
+    )
+    print(f"simulator held-out one-step R^2: mean={metrics['r2_mean']:.4f} "
+          f"min={metrics['r2_min']:.4f}", flush=True)
+
+    # honest initial-state distribution: real env resets
+    import gymnasium as gym
+    env = gym.make(args.env)
+    init_obs = np.stack([
+        env.reset(seed=args.seed + i)[0] for i in range(args.batch)
+    ]).astype(np.float32)
+    env.close()
+
+    evaluate = make_ondevice_locomotion_evaluator(
+        diffusion, model, mparams, mstats, reward_model_for(args.env),
+        action_horizon=args.action_horizon, n_replans=args.n_replans,
+        sampling_timesteps=args.sampling_timesteps,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    # compile
+    out = evaluate(params, rng, stats, jnp.asarray(init_obs))
+    jax.block_until_ready(out)
+    t0 = time.time()
+    mean_ret, mean_len, returns = evaluate(
+        params, jax.random.PRNGKey(args.seed + 1), stats, jnp.asarray(init_obs)
+    )
+    jax.block_until_ready(returns)
+    dt = time.time() - t0
+
+    n_steps = args.n_replans * args.action_horizon
+    result = {
+        "env": args.env,
+        "batch": args.batch,
+        "env_steps_per_episode": n_steps,
+        "model_based_mean_return": round(float(mean_ret), 2),
+        "model_based_return_std": round(float(jnp.std(returns)), 2),
+        "mean_alive_length": round(float(mean_len), 1),
+        "wall_clock_s": round(dt, 3),
+        "episodes_per_hour_per_chip": round(args.batch / dt * 3600.0, 1),
+        "simulator_r2_mean": round(metrics["r2_mean"], 4),
+        "note": "model-based surrogate returns (learned simulator); host-env "
+                "MPC eval is ground truth",
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Learned-simulator locomotion path: dynamics MLP fit, reward-model parity
+with the real gymnasium envs, and the on-device plan->step->replan loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dadiff_tpu.envs.learned_model import (
+    DynamicsMLP,
+    halfcheetah_reward_done,
+    hopper_reward_done,
+    make_ondevice_locomotion_evaluator,
+    reward_model_for,
+    train_dynamics_model,
+    walker2d_reward_done,
+)
+
+
+def _linear_episodes(n=6, T=50, obs_dim=4, act_dim=2, seed=0):
+    """Ground-truth linear dynamics -> a learnable transition set."""
+    rs = np.random.RandomState(seed)
+    A = np.eye(obs_dim) + 0.05 * rs.randn(obs_dim, obs_dim)
+    B = 0.3 * rs.randn(obs_dim, act_dim)
+    eps = []
+    for _ in range(n):
+        o = rs.randn(obs_dim)
+        obs, acts = [o], []
+        for _ in range(T):
+            a = rs.uniform(-1, 1, act_dim)
+            o = A @ o + B @ a
+            obs.append(o)
+            acts.append(a)
+        eps.append({
+            "observations": np.asarray(obs, np.float32),
+            "actions": np.asarray(acts, np.float32),
+        })
+    return eps
+
+
+def test_dynamics_model_fits_linear_system():
+    eps = _linear_episodes()
+    model, params, stats, metrics = train_dynamics_model(
+        eps, hidden=(64, 64), n_steps=1500, batch_size=256, seed=0
+    )
+    assert metrics["r2_mean"] > 0.95, metrics
+    # one-step prediction in physical space over a bulk of transitions:
+    # median error well under the typical step size
+    obs = jnp.asarray(eps[0]["observations"][:-1])
+    acts = jnp.asarray(eps[0]["actions"])
+    o_n = (obs - stats.obs_mean) / stats.obs_std
+    a_n = (acts - stats.act_mean) / stats.act_std
+    pred = obs + model.apply({"params": params}, o_n, a_n) * stats.delta_std \
+        + stats.delta_mean
+    true = jnp.asarray(eps[0]["observations"][1:])
+    err = jnp.linalg.norm(pred - true, axis=-1)
+    step_size = jnp.linalg.norm(true - obs, axis=-1)
+    assert float(jnp.median(err)) < 0.3 * float(jnp.median(step_size))
+
+
+@pytest.mark.parametrize("env_name,reward_done", [
+    ("HalfCheetah-v5", halfcheetah_reward_done),
+    ("Hopper-v5", hopper_reward_done),
+    ("Walker2d-v5", walker2d_reward_done),
+])
+def test_reward_model_matches_real_env(env_name, reward_done):
+    """The on-device reward computed from observations tracks the env's
+    actual reward (same x_vel component + control cost + healthy bonus)."""
+    gym = pytest.importorskip("gymnasium")
+    env = gym.make(env_name)
+    obs, _ = env.reset(seed=0)
+    rs = np.random.RandomState(0)
+    for _ in range(10):
+        a = rs.uniform(-1, 1, env.action_space.shape[0]).astype(np.float32)
+        nxt, r, term, trunc, info = env.step(a)
+        model_r, model_done = reward_done(
+            jnp.asarray(obs)[None], jnp.asarray(nxt)[None], jnp.asarray(a)[None]
+        )
+        # x_velocity in info is exact; obs-derived qvel is the same quantity
+        assert abs(float(model_r[0]) - float(r)) < 0.7, (
+            env_name, float(model_r[0]), float(r))
+        if term:
+            assert bool(model_done[0])
+            break
+        obs = nxt
+    env.close()
+
+
+def test_reward_model_registry():
+    assert reward_model_for("HalfCheetah-v5") is halfcheetah_reward_done
+    assert reward_model_for("Hopper-v5") is hopper_reward_done
+    with pytest.raises(ValueError):
+        reward_model_for("PointMaze_UMaze-v3")
+
+
+def test_ondevice_locomotion_evaluator_runs():
+    from dadiff_tpu.models.diffusion import GaussianDiffusion
+    from dadiff_tpu.models.temporal_unet import TemporalUnet
+    from dadiff_tpu.ops.projection import NormStats
+
+    obs_dim, act_dim = 4, 2
+    eps = _linear_episodes(obs_dim=obs_dim, act_dim=act_dim)
+    model, mparams, mstats, _ = train_dynamics_model(
+        eps, hidden=(32,), n_steps=100, batch_size=128
+    )
+
+    unet = TemporalUnet(transition_dim=obs_dim + act_dim, dim=8, dim_mults=(1, 2))
+    d = GaussianDiffusion(model=unet, horizon=8, observation_dim=obs_dim,
+                          action_dim=act_dim, n_timesteps=5)
+    params = d.init_params(jax.random.PRNGKey(0))
+
+    def fake_reward(obs, nxt, act):
+        return nxt[..., 0], jnp.zeros(nxt.shape[:-1], bool)
+
+    ev = make_ondevice_locomotion_evaluator(
+        d, model, mparams, mstats, fake_reward,
+        action_horizon=4, n_replans=3,
+    )
+    init_obs = jnp.asarray(np.stack([e["observations"][0] for e in eps[:4]]))
+    stats = NormStats.identity(obs_dim, act_dim)
+    mean_ret, mean_len, returns = ev(params, jax.random.PRNGKey(1), stats, init_obs)
+    assert returns.shape == (4,)
+    assert np.isfinite(float(mean_ret))
+    assert float(mean_len) == 12.0  # 3 replans x 4 actions, nothing dies
+
+
+def test_ondevice_locomotion_done_freezes_env():
+    """A done env stops accumulating reward and length."""
+    from dadiff_tpu.models.diffusion import GaussianDiffusion
+    from dadiff_tpu.models.temporal_unet import TemporalUnet
+    from dadiff_tpu.ops.projection import NormStats
+
+    obs_dim, act_dim = 4, 2
+    eps = _linear_episodes(obs_dim=obs_dim, act_dim=act_dim)
+    model, mparams, mstats, _ = train_dynamics_model(
+        eps, hidden=(16,), n_steps=50, batch_size=64
+    )
+    unet = TemporalUnet(transition_dim=obs_dim + act_dim, dim=8, dim_mults=(1, 2))
+    d = GaussianDiffusion(model=unet, horizon=8, observation_dim=obs_dim,
+                          action_dim=act_dim, n_timesteps=5)
+    params = d.init_params(jax.random.PRNGKey(0))
+
+    def die_immediately(obs, nxt, act):
+        return jnp.ones(nxt.shape[:-1]), jnp.ones(nxt.shape[:-1], bool)
+
+    ev = make_ondevice_locomotion_evaluator(
+        d, model, mparams, mstats, die_immediately,
+        action_horizon=4, n_replans=3,
+    )
+    init_obs = jnp.zeros((2, obs_dim))
+    stats = NormStats.identity(obs_dim, act_dim)
+    mean_ret, mean_len, returns = ev(params, jax.random.PRNGKey(1), stats, init_obs)
+    # exactly one rewarded step before the env froze
+    assert float(mean_ret) == 1.0
+    assert float(mean_len) == 1.0
