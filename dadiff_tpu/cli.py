@@ -760,6 +760,20 @@ def evaluate_main(argv=None) -> dict:
         n_episodes=args.n_episodes,
         sampling_timesteps=sampling_timesteps,
         seed=args.seed,
+        extra={
+            # full eval-configuration provenance (which knobs produced this)
+            "sampler": args.sampler,
+            "n_candidates": args.n_candidates,
+            "batched": args.batched,
+            "wall_aware": getattr(args, "wall_aware", False),
+            "parity_mode": args.parity_mode,
+            "projection_schedule": args.projection_schedule,
+            "projection_strength": args.projection_strength,
+            "action_horizon": args.action_horizon,
+            "guide_weight": args.guide_weight
+            if args.policy_type == "value-guided" else None,
+            "use_ema": args.use_ema,
+        },
     )
     print(f"Mean reward: {metrics['mean_reward']:.2f} ± {metrics['std_reward']:.2f}")
     print(f"Mean length: {metrics['mean_length']:.2f} "
