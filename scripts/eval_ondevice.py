@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--n-candidates", type=int, default=1,
                    help="best-of-N candidate plans per replan wave (fused)")
     p.add_argument("--projection-schedule", type=str, default="noise_schedule")
+    p.add_argument("--wall-aware", action="store_true",
+                   help="obstacle-aware projection: revert plan rows dragged "
+                        "into wall cells of the selected map")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
     args = p.parse_args(argv)
@@ -71,8 +74,12 @@ def main(argv=None):
             ProjectionMatrixBuilder(A, B, state_dim, action_dim)
             .get_projection_matrix(diffusion.horizon)
         )
+        wall_grid = None
+        if args.wall_aware:
+            wall_grid = tuple(tuple(int(v) for v in row) for row in env.maze)
         projection = ProjectionSpec(
-            state_dim=state_dim, schedule=args.projection_schedule
+            state_dim=state_dim, schedule=args.projection_schedule,
+            wall_grid=wall_grid,
         )
 
     evaluator = make_ondevice_evaluator(
@@ -102,6 +109,7 @@ def main(argv=None):
     out = {
         "mode": "on-device plan->step->replan",
         "projection": bool(args.projection),
+        "wall_aware": bool(args.wall_aware),
         "n_candidates": args.n_candidates,
         "batch": args.batch,
         "env_steps_per_episode": args.n_replans * args.action_horizon,
