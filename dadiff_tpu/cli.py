@@ -466,6 +466,12 @@ def build_eval_parser() -> argparse.ArgumentParser:
                    help="obstacle-aware projection: revert plan rows the "
                         "projection drags into maze wall cells (PointMaze "
                         "envs only)")
+    p.add_argument("--skip-conditioned-action", action="store_true",
+                   help="start the action buffer at t=1 instead of t=0: the "
+                        "reference buffers from t=0, whose action the "
+                        "conditioning zeroed, so every replan's first action "
+                        "unnormalizes to the dataset mean (a parity quirk "
+                        "that costs reward on locomotion)")
     p.add_argument("--use-ema", action="store_true",
                    help="evaluate the EMA weights if present")
     p.add_argument("--max-steps", type=int, default=1000)
@@ -673,6 +679,7 @@ def evaluate_main(argv=None) -> dict:
             diffusion, dataset.normalizer, params=params,
             sampling_timesteps=sampling_timesteps, seed=args.seed,
             n_candidates=args.n_candidates, sampler=args.sampler,
+            skip_conditioned_action=args.skip_conditioned_action,
         )
     elif args.policy_type == "mpc":
         policy = MPCPolicy(
@@ -680,6 +687,7 @@ def evaluate_main(argv=None) -> dict:
             action_horizon=args.action_horizon,
             sampling_timesteps=sampling_timesteps, seed=args.seed,
             n_candidates=args.n_candidates, sampler=args.sampler,
+            skip_conditioned_action=args.skip_conditioned_action,
         )
     elif args.policy_type == "value-guided":
         from dadiff_tpu.guides.policies import ValueGuidedPolicy
@@ -695,6 +703,7 @@ def evaluate_main(argv=None) -> dict:
             guide_weight=args.guide_weight,
             action_horizon=args.action_horizon,
             sampling_timesteps=sampling_timesteps, seed=args.seed,
+            skip_conditioned_action=args.skip_conditioned_action,
         )
     else:  # dynamics-aware (reference evaluate.py:362-404)
         from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
