@@ -466,6 +466,11 @@ def build_eval_parser() -> argparse.ArgumentParser:
                    help="obstacle-aware projection: revert plan rows the "
                         "projection drags into maze wall cells (PointMaze "
                         "envs only)")
+    p.add_argument("--candidate-scorer", type=str, default="goal",
+                   choices=["goal", "velocity"],
+                   help="best-of-N plan scorer: final goal distance (maze) "
+                        "or negative mean planned forward velocity "
+                        "(locomotion)")
     p.add_argument("--skip-conditioned-action", action="store_true",
                    help="start the action buffer at t=1 instead of t=0: the "
                         "reference buffers from t=0, whose action the "
@@ -674,12 +679,19 @@ def evaluate_main(argv=None) -> dict:
         print(f"clamping sampling timesteps {args.sampling_timesteps} -> "
               f"{sampling_timesteps} (trained {diffusion.n_timesteps})")
 
+    candidate_scorer = None
+    if args.candidate_scorer == "velocity":
+        from dadiff_tpu.guides.policies import velocity_scorer_for_env
+
+        candidate_scorer = velocity_scorer_for_env(args.env)
+
     if args.policy_type == "guided":
         policy = GuidedPolicy(
             diffusion, dataset.normalizer, params=params,
             sampling_timesteps=sampling_timesteps, seed=args.seed,
             n_candidates=args.n_candidates, sampler=args.sampler,
             skip_conditioned_action=args.skip_conditioned_action,
+            candidate_scorer=candidate_scorer,
         )
     elif args.policy_type == "mpc":
         policy = MPCPolicy(
@@ -688,6 +700,7 @@ def evaluate_main(argv=None) -> dict:
             sampling_timesteps=sampling_timesteps, seed=args.seed,
             n_candidates=args.n_candidates, sampler=args.sampler,
             skip_conditioned_action=args.skip_conditioned_action,
+            candidate_scorer=candidate_scorer,
         )
     elif args.policy_type == "value-guided":
         from dadiff_tpu.guides.policies import ValueGuidedPolicy
@@ -704,6 +717,7 @@ def evaluate_main(argv=None) -> dict:
             action_horizon=args.action_horizon,
             sampling_timesteps=sampling_timesteps, seed=args.seed,
             skip_conditioned_action=args.skip_conditioned_action,
+            candidate_scorer=candidate_scorer,
         )
     else:  # dynamics-aware (reference evaluate.py:362-404)
         from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
@@ -743,6 +757,8 @@ def evaluate_main(argv=None) -> dict:
             seed=args.seed,
             n_candidates=args.n_candidates,
             sampler=args.sampler,
+            skip_conditioned_action=args.skip_conditioned_action,
+            candidate_scorer=candidate_scorer,
         )
 
     if args.batched:
@@ -773,6 +789,7 @@ def evaluate_main(argv=None) -> dict:
             # full eval-configuration provenance (which knobs produced this)
             "sampler": args.sampler,
             "n_candidates": args.n_candidates,
+            "candidate_scorer": args.candidate_scorer,
             "batched": args.batched,
             "wall_aware": getattr(args, "wall_aware", False),
             "parity_mode": args.parity_mode,

@@ -45,6 +45,31 @@ def goal_distance_scorer(trajs: jax.Array, normed_obs: jax.Array) -> jax.Array:
     return jnp.linalg.norm(final_pos - goal[None], axis=-1)
 
 
+def make_velocity_scorer(vel_index: int):
+    """Best-of-N scorer for locomotion: negative mean planned forward
+    velocity over the horizon (lower score = faster plan). ``vel_index`` is
+    the observation component holding the root x velocity — 8 for
+    HalfCheetah-v5/Walker2d-v5, 5 for Hopper-v5 (gymnasium v5 layouts,
+    exclude_current_positions=True). Normalized space is monotone in
+    physical velocity for affine normalizers with positive scale."""
+
+    def scorer(trajs: jax.Array, normed_obs: jax.Array) -> jax.Array:
+        return -jnp.mean(trajs[:, :, vel_index], axis=-1)
+
+    return scorer
+
+
+VELOCITY_INDEX = {"halfcheetah": 8, "hopper": 5, "walker": 8}
+
+
+def velocity_scorer_for_env(env_name: str):
+    key = env_name.lower()
+    for name, idx in VELOCITY_INDEX.items():
+        if name in key:
+            return make_velocity_scorer(idx)
+    raise ValueError(f"No velocity scorer for {env_name}")
+
+
 class GuidedPolicy:
     """Base guided-sampling policy with conditioning and action buffering
     (reference policies.py:13-223)."""

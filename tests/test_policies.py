@@ -327,3 +327,23 @@ def test_goal_distance_scorer_unit():
     assert scores.shape == (3,)
     assert int(jnp.argmin(scores)) == 0
     assert float(scores[0]) < float(scores[2]) < float(scores[1])
+
+
+def test_velocity_scorer():
+    """Locomotion best-of-N scorer prefers the faster plan."""
+    import jax.numpy as jnp
+    from dadiff_tpu.guides.policies import (
+        make_velocity_scorer, velocity_scorer_for_env,
+    )
+
+    scorer = make_velocity_scorer(vel_index=2)
+    slow = jnp.zeros((1, 4, 5)).at[:, :, 2].set(0.1)
+    fast = jnp.zeros((1, 4, 5)).at[:, :, 2].set(2.0)
+    trajs = jnp.concatenate([slow, fast])
+    scores = scorer(trajs, jnp.zeros(3))
+    assert scores[1] < scores[0]
+
+    assert velocity_scorer_for_env("HalfCheetah-v5") is not None
+    import pytest
+    with pytest.raises(ValueError):
+        velocity_scorer_for_env("PointMaze_UMaze-v3")
