@@ -481,8 +481,8 @@ def build_eval_parser() -> argparse.ArgumentParser:
                    help="evaluate the EMA weights if present")
     p.add_argument("--max-steps", type=int, default=1000)
     p.add_argument("--sampler", type=str, default="ddpm",
-                   choices=["ddpm", "ddim"],
-                   help="ddim = strided fast sampling (with conditioning/"
+                   choices=["ddpm", "ddim", "dpmpp"],
+                   help="ddim/dpmpp = strided fast sampling (with conditioning/"
                         "guidance/projection composed)")
     p.add_argument("--n-candidates", type=int, default=1,
                    help="best-of-N candidate plans per replan (batched, "
