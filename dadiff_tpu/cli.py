@@ -466,6 +466,12 @@ def build_eval_parser() -> argparse.ArgumentParser:
                    help="obstacle-aware projection: revert plan rows the "
                         "projection drags into maze wall cells (PointMaze "
                         "envs only)")
+    p.add_argument("--action-source", type=str, default="plan",
+                   choices=["plan", "inverse-dynamics"],
+                   help="execute the plan's action columns, or derive "
+                        "actions from consecutive planned states via a "
+                        "learned inverse-dynamics model (Decision-Diffuser-"
+                        "style; robust for locomotion)")
     p.add_argument("--candidate-scorer", type=str, default="goal",
                    choices=["goal", "velocity"],
                    help="best-of-N plan scorer: final goal distance (maze) "
@@ -685,6 +691,19 @@ def evaluate_main(argv=None) -> dict:
 
         candidate_scorer = velocity_scorer_for_env(args.env)
 
+    inverse_dynamics = None
+    if args.action_source == "inverse-dynamics":
+        from dadiff_tpu.datasets.sources import load_episodes
+        from dadiff_tpu.envs.learned_model import train_inverse_dynamics
+
+        print("fitting inverse-dynamics model on the dataset ...")
+        inverse_dynamics, inv_metrics = train_inverse_dynamics(
+            load_episodes(dataset_spec), seed=args.seed
+        )
+        print(f"inverse-dynamics held-out action R^2: "
+              f"mean={inv_metrics['r2_mean']:.4f} "
+              f"min={inv_metrics['r2_min']:.4f}")
+
     if args.policy_type == "guided":
         policy = GuidedPolicy(
             diffusion, dataset.normalizer, params=params,
@@ -692,6 +711,7 @@ def evaluate_main(argv=None) -> dict:
             n_candidates=args.n_candidates, sampler=args.sampler,
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
+            inverse_dynamics=inverse_dynamics,
         )
     elif args.policy_type == "mpc":
         policy = MPCPolicy(
@@ -701,6 +721,7 @@ def evaluate_main(argv=None) -> dict:
             n_candidates=args.n_candidates, sampler=args.sampler,
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
+            inverse_dynamics=inverse_dynamics,
         )
     elif args.policy_type == "value-guided":
         from dadiff_tpu.guides.policies import ValueGuidedPolicy
@@ -718,6 +739,7 @@ def evaluate_main(argv=None) -> dict:
             sampling_timesteps=sampling_timesteps, seed=args.seed,
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
+            inverse_dynamics=inverse_dynamics,
         )
     else:  # dynamics-aware (reference evaluate.py:362-404)
         from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
@@ -759,6 +781,7 @@ def evaluate_main(argv=None) -> dict:
             sampler=args.sampler,
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
+            inverse_dynamics=inverse_dynamics,
         )
 
     if args.batched:
@@ -790,6 +813,7 @@ def evaluate_main(argv=None) -> dict:
             "sampler": args.sampler,
             "n_candidates": args.n_candidates,
             "candidate_scorer": args.candidate_scorer,
+            "action_source": args.action_source,
             "batched": args.batched,
             "wall_aware": getattr(args, "wall_aware", False),
             "parity_mode": args.parity_mode,

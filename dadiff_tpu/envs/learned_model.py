@@ -148,6 +148,107 @@ def train_dynamics_model(
     return model, params, stats, metrics
 
 
+class InverseDynamicsMLP(nn.Module):
+    """(obs_t, obs_{t+1}) -> action, all normalized (Decision-Diffuser-style
+    action extraction: plans carry good STATE sequences; deriving the action
+    per executed step from consecutive planned states is far more robust
+    than executing the plan's smoothed action columns open-loop)."""
+
+    act_dim: int
+    hidden: Tuple[int, ...] = (256, 256)
+
+    @nn.compact
+    def __call__(self, obs: jax.Array, next_obs: jax.Array) -> jax.Array:
+        x = jnp.concatenate([obs, next_obs], axis=-1)
+        for h in self.hidden:
+            x = nn.swish(nn.Dense(h)(x))
+        return nn.Dense(self.act_dim)(x)
+
+
+def train_inverse_dynamics(
+    episodes: Sequence[dict],
+    *,
+    hidden: Tuple[int, ...] = (256, 256),
+    n_steps: int = 2000,
+    batch_size: int = 1024,
+    lr: float = 1e-3,
+    val_fraction: float = 0.1,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Fit an InverseDynamicsMLP to episode transitions.
+
+    Returns (predict_fn, metrics): ``predict_fn(obs_phys, next_obs_phys) ->
+    action_phys`` (batched, jitted) and held-out action R^2.
+    """
+    import optax
+
+    obs, act, nxt = _transitions(episodes)
+    n = len(obs)
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    n_val = max(1, int(n * val_fraction))
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+    om, os_ = obs[train_idx].mean(0), obs[train_idx].std(0) + 1e-6
+    am, as_ = act[train_idx].mean(0), act[train_idx].std(0) + 1e-6
+
+    obs_n = (obs - om) / os_
+    nxt_n = (nxt - om) / os_
+    act_n = (act - am) / as_
+
+    model = InverseDynamicsMLP(act_dim=act.shape[-1], hidden=hidden)
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, obs.shape[-1])),
+        jnp.zeros((1, obs.shape[-1])),
+    )["params"]
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, o, nx, a):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, o, nx)
+            return jnp.mean((pred - a) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    tr_o = jnp.asarray(obs_n[train_idx])
+    tr_n = jnp.asarray(nxt_n[train_idx])
+    tr_a = jnp.asarray(act_n[train_idx])
+    n_train = len(train_idx)
+    for i in range(n_steps):
+        idx = jnp.asarray(rng.randint(0, n_train, size=batch_size))
+        params, opt_state, loss = step(
+            params, opt_state, tr_o[idx], tr_n[idx], tr_a[idx]
+        )
+        if verbose and (i + 1) % 500 == 0:
+            print(f"invdyn step {i + 1}: loss={float(loss):.5f}", flush=True)
+
+    pred_n = model.apply(
+        {"params": params}, jnp.asarray(obs_n[val_idx]), jnp.asarray(nxt_n[val_idx])
+    )
+    pred = np.asarray(pred_n) * as_ + am
+    true = act[val_idx]
+    ss_res = ((true - pred) ** 2).sum(0)
+    ss_tot = ((true - true.mean(0)) ** 2).sum(0) + 1e-12
+    r2 = 1.0 - ss_res / ss_tot
+    metrics = {"r2_min": float(r2.min()), "r2_mean": float(r2.mean())}
+
+    om_j, os_j = jnp.asarray(om), jnp.asarray(os_)
+    am_j, as_j = jnp.asarray(am), jnp.asarray(as_)
+
+    @jax.jit
+    def predict_fn(obs_phys, next_obs_phys):
+        o = (jnp.asarray(obs_phys) - om_j) / os_j
+        nx = (jnp.asarray(next_obs_phys) - om_j) / os_j
+        return model.apply({"params": params}, o, nx) * as_j + am_j
+
+    return predict_fn, metrics
+
+
 # --- on-device reward/termination models (doc'd gymnasium v5 semantics) ---
 
 def halfcheetah_reward_done(obs, next_obs, action):

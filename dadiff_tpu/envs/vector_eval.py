@@ -111,14 +111,33 @@ def evaluate_policy_batched(
             trajs = np.asarray(
                 policy._plan(policy.params, key, cond, policy._P, policy._stats)
             )  # (N, H, D)
-        actions_norm = trajs[:, start_t : start_t + n_buffered, a0:a1]
+        if policy.inverse_dynamics is not None:
+            # Decision-Diffuser-style: actions from consecutive planned
+            # states via the learned inverse model (one batched call)
+            stop_t = min(start_t + n_buffered, horizon - 1)
+            obs_rows = policy.normalizer.unnormalize_observations(
+                trajs[:, start_t : stop_t + 1, :obs_dim].reshape(-1, obs_dim)
+            ).reshape(n_episodes, -1, obs_dim)
+            inv_acts = np.asarray(
+                policy.inverse_dynamics(
+                    obs_rows[:, :-1].reshape(-1, obs_dim),
+                    obs_rows[:, 1:].reshape(-1, obs_dim),
+                )
+            ).reshape(n_episodes, -1, act_dim)
+            n_exec = inv_acts.shape[1]
+        else:
+            actions_norm = trajs[:, start_t : start_t + n_buffered, a0:a1]
+            n_exec = n_buffered
 
-        for j in range(n_buffered):
+        for j in range(n_exec):
             if step >= max_steps or done.all():
                 break
-            acts = policy.normalizer.unnormalize_actions(
-                actions_norm[:, j].reshape(n_episodes, -1)
-            )
+            if policy.inverse_dynamics is not None:
+                acts = inv_acts[:, j]
+            else:
+                acts = policy.normalizer.unnormalize_actions(
+                    actions_norm[:, j].reshape(n_episodes, -1)
+                )
             for i, env in enumerate(envs):
                 if done[i]:
                     continue

@@ -90,6 +90,7 @@ class GuidedPolicy:
         candidate_scorer: Optional[Callable] = None,
         sampler: str = "ddpm",
         ddim_eta: float = 0.0,
+        inverse_dynamics: Optional[Callable] = None,
     ):
         self.diffusion = diffusion
         self.normalizer = normalizer
@@ -112,6 +113,12 @@ class GuidedPolicy:
         # action of every replan is the dataset-mean action. True by default
         # for parity; set skip_conditioned_action=True to start at t=1.
         self.skip_conditioned_action = skip_conditioned_action
+        # Decision-Diffuser-style action extraction: derive each action from
+        # consecutive PLANNED STATES via a learned inverse-dynamics model
+        # a_t = g(s_t, s_{t+1}) (physical space), instead of executing the
+        # plan's action columns. Far more robust for locomotion, where
+        # executing smoothed planned actions open-loop drifts.
+        self.inverse_dynamics = inverse_dynamics
 
         self._rng = jax.random.PRNGKey(seed)
         self._plan = make_sampler(
@@ -178,7 +185,20 @@ class GuidedPolicy:
         traj = trajectory[0]
         a0, a1 = self.observation_dim, self.observation_dim + self.action_dim
         start = 1 if self.skip_conditioned_action else 0
-        for t in range(start, min(self.action_horizon + 1, self.horizon)):
+        stop = min(self.action_horizon + 1, self.horizon)
+        if self.inverse_dynamics is not None:
+            # a_t = g(s_t, s_{t+1}) from planned states (one batched call)
+            stop = min(stop, self.horizon - 1)
+            obs_rows = self.normalizer.unnormalize_observations(
+                traj[start : stop + 1, : self.observation_dim]
+            )
+            acts = np.asarray(
+                self.inverse_dynamics(obs_rows[:-1], obs_rows[1:])
+            )
+            for a in acts:
+                self.action_buffer.append(np.ravel(a))
+            return
+        for t in range(start, stop):
             normed = traj[t, a0:a1]
             action = self.normalizer.unnormalize_actions(normed.reshape(1, -1))
             self.action_buffer.append(np.ravel(action))

@@ -153,3 +153,56 @@ def test_ondevice_locomotion_done_freezes_env():
     # exactly one rewarded step before the env froze
     assert float(mean_ret) == 1.0
     assert float(mean_len) == 1.0
+
+
+def test_inverse_dynamics_recovers_actions():
+    """On a linear system a = B^+ (x' - A x); the MLP should recover the
+    actions that generated held-out transitions."""
+    from dadiff_tpu.envs.learned_model import train_inverse_dynamics
+
+    eps = _linear_episodes(n=8, T=60, obs_dim=4, act_dim=2, seed=3)
+    predict_fn, metrics = train_inverse_dynamics(
+        eps, hidden=(64, 64), n_steps=1500, batch_size=256, seed=0
+    )
+    assert metrics["r2_mean"] > 0.9, metrics
+    obs = eps[0]["observations"]
+    acts = eps[0]["actions"]
+    pred = np.asarray(predict_fn(obs[10:20], obs[11:21]))
+    err = np.abs(pred - acts[10:20])
+    assert float(np.median(err)) < 0.15, float(np.median(err))
+
+
+def test_policy_inverse_dynamics_action_extraction():
+    """GuidedPolicy with inverse_dynamics derives actions from planned
+    states (count and shape match the action horizon)."""
+    from dadiff_tpu.guides.policies import MPCPolicy
+    from dadiff_tpu.models.diffusion import GaussianDiffusion
+    from dadiff_tpu.models.temporal_unet import TemporalUnet
+    from dadiff_tpu.datasets.normalization import DatasetNormalizer
+
+    obs_dim, act_dim = 4, 2
+    rs = np.random.RandomState(0)
+    obs = rs.randn(100, obs_dim).astype(np.float32)
+    acts = rs.randn(100, act_dim).astype(np.float32)
+    normalizer = DatasetNormalizer(obs, acts, obs_dim, act_dim)
+
+    unet = TemporalUnet(transition_dim=6, dim=8, dim_mults=(1, 2))
+    d = GaussianDiffusion(model=unet, horizon=8, observation_dim=obs_dim,
+                          action_dim=act_dim, n_timesteps=5)
+    params = d.init_params(jax.random.PRNGKey(0))
+
+    calls = {}
+
+    def fake_inverse(o, nxt):
+        calls["shapes"] = (np.asarray(o).shape, np.asarray(nxt).shape)
+        return jnp.ones((np.asarray(o).shape[0], act_dim)) * 7.0
+
+    pol = MPCPolicy(d, normalizer, params=params, action_horizon=3,
+                    skip_conditioned_action=True,
+                    inverse_dynamics=fake_inverse)
+    a = pol.get_action(np.zeros(obs_dim, np.float32))
+    assert a.shape == (act_dim,)
+    np.testing.assert_allclose(a, 7.0)
+    # 3 actions buffered+popped: rows start..start+3 -> 4 obs rows, 3 pairs
+    assert calls["shapes"][0][0] == 3
+    assert len(pol.action_buffer) == 2
