@@ -1,0 +1,143 @@
+"""TPU-batched MPPI planner (envs/mppi_tpu.py) on an analytical toy model.
+
+Runs on the CPU mesh backend (conftest forces JAX_PLATFORMS=cpu); the
+planner is backend-agnostic jitted JAX.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dadiff_tpu.envs.mppi_tpu import make_mppi_planner
+
+
+def _double_integrator_step(obs, act):
+    # obs = (x, v), act scalar in [-1, 1]
+    x = obs[..., 0] + 0.1 * obs[..., 1]
+    v = obs[..., 1] + 0.1 * act[..., 0]
+    return jnp.stack([x, v], axis=-1)
+
+
+def _reward_done(obs, nxt, act):
+    r = -(nxt[..., 0] ** 2) - 0.01 * jnp.sum(act**2, axis=-1)
+    return r, jnp.zeros_like(r, bool)
+
+
+def _rollout(plan, obs0, n_steps, key, horizon, act_dim):
+    obs = jnp.asarray(obs0)
+    mean = jnp.zeros((obs.shape[0], horizon, act_dim))
+    total = jnp.zeros(obs.shape[0])
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        acts, mean = plan(sub, obs, mean)
+        act = acts[:, 0]
+        nxt = _double_integrator_step(obs, act)
+        r, _ = _reward_done(obs, nxt, act)
+        total = total + r
+        obs = nxt
+    return obs, total
+
+
+def test_mppi_planner_shapes_and_warm_start():
+    plan = make_mppi_planner(
+        _double_integrator_step, _reward_done,
+        act_dim=1, horizon=5, n_samples=16,
+    )
+    obs = jnp.asarray([[1.0, 0.0], [-2.0, 0.5]])
+    mean = jnp.zeros((2, 5, 1))
+    act, new_mean = plan(jax.random.PRNGKey(0), obs, mean)
+    assert act.shape == (2, 1, 1)  # (B, n_exec, m)
+    assert new_mean.shape == (2, 5, 1)
+    assert bool(jnp.all(jnp.abs(act) <= 1.0))
+    # warm start must actually move (weighted mean of clipped noise != 0)
+    assert float(jnp.abs(new_mean).max()) > 0
+
+
+def test_mppi_planner_n_exec():
+    plan = make_mppi_planner(
+        _double_integrator_step, _reward_done,
+        act_dim=1, horizon=6, n_samples=16, n_exec=3,
+    )
+    obs = jnp.asarray([[1.0, 0.0]])
+    acts, new_mean = plan(jax.random.PRNGKey(0), obs, jnp.zeros((1, 6, 1)))
+    assert acts.shape == (1, 3, 1)
+    assert new_mean.shape == (1, 6, 1)
+    # the warm start's tail rows (shifted past the end) repeat the last row
+    tail = np.asarray(new_mean[0, 3:])
+    np.testing.assert_allclose(
+        tail, np.broadcast_to(tail[:1], tail.shape), rtol=1e-6
+    )
+
+
+def test_mppi_regulates_double_integrator():
+    """From x=1.5 MPPI must drive x toward 0; random actions must not."""
+    horizon, act_dim = 15, 1
+    plan = make_mppi_planner(
+        _double_integrator_step, _reward_done,
+        act_dim=act_dim, horizon=horizon, n_samples=128, lam=0.1, sigma=0.5,
+    )
+    obs0 = np.asarray([[1.5, 0.0]] * 4, np.float32)
+    final, total = _rollout(
+        plan, obs0, 40, jax.random.PRNGKey(1), horizon, act_dim
+    )
+    assert float(jnp.abs(final[:, 0]).max()) < 0.35, final
+
+    # random-policy control for comparison
+    key = jax.random.PRNGKey(2)
+    obs = jnp.asarray(obs0)
+    rand_total = jnp.zeros(4)
+    for _ in range(40):
+        key, sub = jax.random.split(key)
+        a = jax.random.uniform(sub, (4, 1), minval=-1.0, maxval=1.0)
+        nxt = _double_integrator_step(obs, a)
+        r, _ = _reward_done(obs, nxt, a)
+        rand_total = rand_total + r
+        obs = nxt
+    assert float(total.mean()) > float(rand_total.mean())
+
+
+def test_mppi_respects_done():
+    """Candidates that hit `done` accrue no further reward, so MPPI avoids
+    the region where done fires even when it pays more per-step reward."""
+    def step(obs, act):
+        return obs + 0.2 * act
+
+    def reward_done(obs, nxt, act):
+        # reward grows with x, but x > 0.5 terminates
+        r = nxt[..., 0]
+        return r, nxt[..., 0] > 0.5
+
+    plan = make_mppi_planner(
+        step, reward_done, act_dim=1, horizon=20, n_samples=256,
+        lam=0.1, sigma=0.5,
+    )
+    obs = jnp.zeros((2, 1))
+    mean = jnp.zeros((2, 20, 1))
+    acts, mean = plan(jax.random.PRNGKey(0), obs, mean)
+    # the long-horizon optimum rides just below the boundary rather than
+    # sprinting across it; the planned first action must be modest
+    assert float(acts.max()) < 1.0
+
+
+def test_sim_step_fn_roundtrip():
+    """make_sim_step_fn applies normalization consistently with the
+    learned-model evaluator."""
+    from dadiff_tpu.envs.learned_model import DynamicsMLP, ModelStats
+    from dadiff_tpu.envs.mppi_tpu import make_sim_step_fn
+
+    model = DynamicsMLP(obs_dim=3, hidden=(8,))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 2))
+    )["params"]
+    stats = ModelStats(
+        obs_mean=jnp.zeros(3), obs_std=jnp.ones(3),
+        act_mean=jnp.zeros(2), act_std=jnp.ones(2),
+        delta_mean=jnp.zeros(3), delta_std=jnp.ones(3),
+    )
+    step_fn = make_sim_step_fn(model, params, stats)
+    obs = jnp.ones((4, 3))
+    nxt = step_fn(obs, jnp.zeros((4, 2)))
+    delta = model.apply({"params": params}, obs, jnp.zeros((4, 2)))
+    np.testing.assert_allclose(np.asarray(nxt), np.asarray(obs + delta),
+                               rtol=1e-6)
