@@ -113,27 +113,47 @@ def train_dynamics_model(
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, opt_state, o, a, d):
-        def loss_fn(p):
-            pred = model.apply({"params": p}, o, a)
-            return jnp.mean((pred - d) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
-
     tr_obs = jnp.asarray(obs_n[train_idx])
     tr_act = jnp.asarray(act_n[train_idx])
     tr_delta = jnp.asarray(delta_n[train_idx])
     n_train = len(train_idx)
-    for i in range(n_steps):
-        idx = jnp.asarray(rng.randint(0, n_train, size=batch_size))
-        params, opt_state, loss = step(
-            params, opt_state, tr_obs[idx], tr_act[idx], tr_delta[idx]
+
+    # One dispatch per CHUNK of SGD steps (lax.scan), not per step: on a
+    # tunneled TPU the per-call RPC (~25-30 ms) would otherwise dominate
+    # (12k steps -> minutes of pure round trips).
+    chunk = max(1, min(500, n_steps))
+
+    @jax.jit
+    def run_chunk(params, opt_state, key):
+        def body(carry, k):
+            p, s = carry
+            idx = jax.random.randint(k, (batch_size,), 0, n_train)
+
+            def loss_fn(p_):
+                pred = model.apply(
+                    {"params": p_}, tr_obs[idx], tr_act[idx]
+                )
+                return jnp.mean((pred - tr_delta[idx]) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(grads, s)
+            return (optax.apply_updates(p, updates), s), loss
+
+        keys = jax.random.split(key, chunk)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys
         )
-        if verbose and (i + 1) % 500 == 0:
-            print(f"dynamics step {i + 1}: loss={float(loss):.5f}", flush=True)
+        return params, opt_state, losses[-50:].mean()
+
+    key = jax.random.PRNGKey(seed + 1)
+    for i in range(0, n_steps, chunk):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = run_chunk(params, opt_state, sub)
+        if verbose:
+            print(
+                f"dynamics step {min(i + chunk, n_steps)}: "
+                f"loss={float(loss):.5f}", flush=True,
+            )
 
     # held-out one-step R^2 in physical delta space
     pred_n = model.apply(

@@ -42,6 +42,7 @@ def main():
                         "(diversity/recovery data)")
     p.add_argument("--iterations", type=int, default=3)
     p.add_argument("--sim-steps", type=int, default=4000)
+    p.add_argument("--sim-hidden", type=int, nargs="+", default=[256, 256])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, required=True)
     args = p.parse_args()
@@ -74,6 +75,7 @@ def main():
         explore_sigma=args.explore_sigma,
         n_iterations=args.iterations,
         sim_steps=args.sim_steps,
+        sim_hidden=tuple(args.sim_hidden),
         seed=args.seed,
     )
     dt = time.time() - t0
