@@ -168,6 +168,160 @@ def train_dynamics_model(
     return model, params, stats, metrics
 
 
+def train_dynamics_ensemble(
+    episodes: Sequence[dict],
+    *,
+    n_models: int = 4,
+    hidden: Tuple[int, ...] = (256, 256),
+    n_steps: int = 2000,
+    batch_size: int = 1024,
+    lr: float = 1e-3,
+    val_fraction: float = 0.1,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Fit an ensemble of DynamicsMLPs (different inits + minibatch streams).
+
+    All members train simultaneously under one ``jax.vmap`` — on TPU an
+    E-way ensemble costs ~the same wall-clock as one model (the MXU is
+    nowhere near saturated by a (256,256) MLP at batch 1024).
+
+    Returns (model, stacked_params, ModelStats, metrics): ``stacked_params``
+    has a leading ensemble axis on every leaf; metrics include per-member
+    and ensemble-mean held-out one-step R^2.
+    """
+    import optax
+
+    obs, act, nxt = _transitions(episodes)
+    delta = nxt - obs
+    n = len(obs)
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    n_val = max(1, int(n * val_fraction))
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+    def stats_of(x):
+        return x.mean(0), x.std(0) + 1e-6
+
+    om, os_ = stats_of(obs[train_idx])
+    am, as_ = stats_of(act[train_idx])
+    dm, ds = stats_of(delta[train_idx])
+    stats = ModelStats(*(jnp.asarray(v) for v in (om, os_, am, as_, dm, ds)))
+
+    obs_n = (obs - om) / os_
+    act_n = (act - am) / as_
+    delta_n = (delta - dm) / ds
+
+    model = DynamicsMLP(obs_dim=obs.shape[-1], hidden=hidden)
+
+    def init_one(key):
+        return model.init(
+            key, jnp.zeros((1, obs.shape[-1])), jnp.zeros((1, act.shape[-1]))
+        )["params"]
+
+    stacked = jax.vmap(init_one)(
+        jax.random.split(jax.random.PRNGKey(seed), n_models)
+    )
+    opt = optax.adam(lr)
+    opt_states = jax.vmap(opt.init)(stacked)
+
+    tr_obs = jnp.asarray(obs_n[train_idx])
+    tr_act = jnp.asarray(act_n[train_idx])
+    tr_delta = jnp.asarray(delta_n[train_idx])
+    n_train = len(train_idx)
+    chunk = max(1, min(500, n_steps))
+
+    def one_step(p, s, key):
+        idx = jax.random.randint(key, (batch_size,), 0, n_train)
+
+        def loss_fn(p_):
+            pred = model.apply({"params": p_}, tr_obs[idx], tr_act[idx])
+            return jnp.mean((pred - tr_delta[idx]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    @jax.jit
+    def run_chunk(stacked, opt_states, key):
+        def body(carry, k):
+            ps, ss = carry
+            keys_e = jax.random.split(k, n_models)
+            ps, ss, losses = jax.vmap(one_step)(ps, ss, keys_e)
+            return (ps, ss), losses
+
+        (stacked, opt_states), losses = jax.lax.scan(
+            body, (stacked, opt_states), jax.random.split(key, chunk)
+        )
+        return stacked, opt_states, losses[-50:].mean()
+
+    key = jax.random.PRNGKey(seed + 1)
+    for i in range(0, n_steps, chunk):
+        key, sub = jax.random.split(key)
+        stacked, opt_states, loss = run_chunk(stacked, opt_states, sub)
+        if verbose:
+            print(
+                f"ensemble step {min(i + chunk, n_steps)}: "
+                f"loss={float(loss):.5f}", flush=True,
+            )
+
+    # held-out one-step R^2, per member and for the ensemble mean
+    vo = jnp.asarray(obs_n[val_idx])
+    va = jnp.asarray(act_n[val_idx])
+    preds_n = jax.vmap(
+        lambda p: model.apply({"params": p}, vo, va)
+    )(stacked)  # (E, n_val, d)
+    preds = np.asarray(preds_n) * ds + dm
+    true = delta[val_idx]
+    ss_tot = ((true - true.mean(0)) ** 2).sum(0) + 1e-12
+
+    def r2_of(pred):
+        return 1.0 - ((true - pred) ** 2).sum(0) / ss_tot
+
+    member_r2 = [float(r2_of(preds[e]).mean()) for e in range(n_models)]
+    mean_r2 = r2_of(preds.mean(0))
+    metrics = {
+        "r2_mean": float(mean_r2.mean()),
+        "r2_min": float(mean_r2.min()),
+        "member_r2": member_r2,
+    }
+    return model, stacked, stats, metrics
+
+
+def make_ensemble_step_fn(model, stacked_params, stats, n_samples: int):
+    """Trajectory-sampling (PETS TS-inf) step function for the MPPI planner.
+
+    The planner evaluates ``n_samples`` candidate sequences with leading
+    axis N on ``(N, B, d)`` states; this step function assigns each
+    candidate to one ensemble member (candidate k -> member k mod E) for
+    its WHOLE rollout. Candidates that only look good under one member's
+    idiosyncratic errors score badly under the members evaluating their
+    neighbors, so the MPPI weighting suppresses model exploitation.
+
+    ``n_samples`` must be divisible by the ensemble size.
+    """
+    n_models = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if n_samples % n_models:
+        raise ValueError(
+            f"n_samples ({n_samples}) must be divisible by ensemble size "
+            f"({n_models})"
+        )
+
+    def step_fn(obs, act):
+        # obs/act: (N, B, dim) -> (E, N/E, B, dim)
+        N = obs.shape[0]
+        grp = lambda x: x.reshape((n_models, N // n_models) + x.shape[1:])
+        o_n = grp((obs - stats.obs_mean) / stats.obs_std)
+        a_n = grp((act - stats.act_mean) / stats.act_std)
+        d_n = jax.vmap(
+            lambda p, o, a: model.apply({"params": p}, o, a)
+        )(stacked_params, o_n, a_n)
+        d_n = d_n.reshape((N,) + obs.shape[1:])
+        return obs + d_n * stats.delta_std + stats.delta_mean
+
+    return step_fn
+
+
 class InverseDynamicsMLP(nn.Module):
     """(obs_t, obs_{t+1}) -> action, all normalized (Decision-Diffuser-style
     action extraction: plans carry good STATE sequences; deriving the action

@@ -137,6 +137,7 @@ def collect_mppi_tpu_episodes(
     n_iterations: int = 3,
     sim_hidden: Tuple[int, ...] = (256, 256),
     sim_steps: int = 4000,
+    sim_ensemble: int = 1,
     seed: int = 0,
     verbose: bool = True,
 ) -> List[dict]:
@@ -148,6 +149,9 @@ def collect_mppi_tpu_episodes(
     everything gathered so far. ``explore_sigma`` adds white action noise at
     EXECUTION time to a fraction of the envs (round-2 lesson: noisy-recovery
     data beats uniformly-expert data for diffusion-MPC training).
+    ``sim_ensemble > 1`` trains an E-member ensemble and evaluates each MPPI
+    candidate under one member (PETS-style trajectory sampling), which
+    suppresses single-model exploitation.
 
     Returns the newly collected episodes (not the seed data), standard
     episode-dict format.
@@ -157,7 +161,9 @@ def collect_mppi_tpu_episodes(
     import jax.numpy as jnp
 
     from dadiff_tpu.envs.learned_model import (
+        make_ensemble_step_fn,
         reward_model_for,
+        train_dynamics_ensemble,
         train_dynamics_model,
     )
 
@@ -187,12 +193,25 @@ def collect_mppi_tpu_episodes(
                     f"{len(pool)} episodes...",
                     flush=True,
                 )
-            model, params, stats, metrics = train_dynamics_model(
-                pool,
-                hidden=sim_hidden,
-                n_steps=sim_steps,
-                seed=seed + it,
-            )
+            if sim_ensemble > 1:
+                model, params, stats, metrics = train_dynamics_ensemble(
+                    pool,
+                    n_models=sim_ensemble,
+                    hidden=sim_hidden,
+                    n_steps=sim_steps,
+                    seed=seed + it,
+                )
+                step_fn = make_ensemble_step_fn(
+                    model, params, stats, n_samples
+                )
+            else:
+                model, params, stats, metrics = train_dynamics_model(
+                    pool,
+                    hidden=sim_hidden,
+                    n_steps=sim_steps,
+                    seed=seed + it,
+                )
+                step_fn = make_sim_step_fn(model, params, stats)
             if verbose:
                 print(
                     f"[mppi-tpu iter {it}] sim one-step R^2 "
@@ -200,7 +219,7 @@ def collect_mppi_tpu_episodes(
                     flush=True,
                 )
             plan = make_mppi_planner(
-                make_sim_step_fn(model, params, stats),
+                step_fn,
                 reward_done,
                 act_dim=act_dim,
                 horizon=horizon,

@@ -43,6 +43,9 @@ def main():
     p.add_argument("--iterations", type=int, default=3)
     p.add_argument("--sim-steps", type=int, default=4000)
     p.add_argument("--sim-hidden", type=int, nargs="+", default=[256, 256])
+    p.add_argument("--sim-ensemble", type=int, default=1,
+                   help="ensemble size; >1 enables PETS-style trajectory "
+                        "sampling (each candidate scored under one member)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, required=True)
     args = p.parse_args()
@@ -76,6 +79,7 @@ def main():
         n_iterations=args.iterations,
         sim_steps=args.sim_steps,
         sim_hidden=tuple(args.sim_hidden),
+        sim_ensemble=args.sim_ensemble,
         seed=args.seed,
     )
     dt = time.time() - t0
