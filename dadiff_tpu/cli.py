@@ -764,6 +764,16 @@ def evaluate_main(argv=None) -> dict:
             wall_grid = maze_grid_for_env(args.env)
             if wall_grid is None:
                 raise SystemExit(f"--wall-aware: no maze map for {args.env}")
+        # optional value guidance stacked on top of projection (composite:
+        # guidance biases the posterior mean, projection keeps it dynamically
+        # feasible, best-of-N selects)
+        guide_fn, guide_weight = None, 0.0
+        if args.value_checkpoint:
+            from dadiff_tpu.models.value_net import make_value_guide_fn
+
+            vnet, vparams = load_value_checkpoint(args.value_checkpoint)
+            guide_fn = make_value_guide_fn(vnet, vparams)
+            guide_weight = args.guide_weight
         policy = DynamicsAwarePolicy(
             diffusion,
             projection_matrix=P,
@@ -782,6 +792,8 @@ def evaluate_main(argv=None) -> dict:
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
+            guide_fn=guide_fn,
+            guide_weight=guide_weight,
         )
 
     if args.batched:
@@ -821,7 +833,9 @@ def evaluate_main(argv=None) -> dict:
             "projection_strength": args.projection_strength,
             "action_horizon": args.action_horizon,
             "guide_weight": args.guide_weight
-            if args.policy_type == "value-guided" else None,
+            if (args.policy_type == "value-guided" or args.value_checkpoint)
+            else None,
+            "value_checkpoint": args.value_checkpoint,
             "use_ema": args.use_ema,
         },
     )

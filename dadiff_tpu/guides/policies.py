@@ -288,6 +288,8 @@ class DynamicsAwarePolicy(GuidedPolicy):
         parity_mode: bool = False,
         wall_grid=None,
         seed: int = 0,
+        guide_fn: Optional[Callable] = None,
+        guide_weight: float = 0.0,
         **kwargs,
     ):
         horizon = horizon if horizon is not None else diffusion.horizon
@@ -325,12 +327,15 @@ class DynamicsAwarePolicy(GuidedPolicy):
                 f"no-projection sampling"
             )
 
+        # guidance composes with projection in the same scan body (the
+        # sampler applies guide grads to the posterior mean, then projects),
+        # so value guidance + dynamics-aware projection is a valid stack
         super().__init__(
             diffusion,
             normalizer,
             params=params,
-            guide_fn=None,
-            guide_weight=0.0,
+            guide_fn=guide_fn,
+            guide_weight=guide_weight,
             action_horizon=action_horizon,
             sampling_timesteps=sampling_timesteps,
             seed=seed,

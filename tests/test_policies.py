@@ -347,3 +347,39 @@ def test_velocity_scorer():
     import pytest
     with pytest.raises(ValueError):
         velocity_scorer_for_env("PointMaze_UMaze-v3")
+
+
+def test_dynamics_aware_with_value_guidance_composite(
+    diffusion, params, normalizer
+):
+    """Value guidance composes with per-step projection in one policy:
+    guidance must change the plan, projection must keep it near-feasible."""
+    A, B = double_integrator_dynamics(0.1)
+    P = ProjectionMatrixBuilder(A, B, 4, 2).get_projection_matrix(HORIZON)
+
+    def guide_fn(x, t):
+        return -jnp.sum(x[:, :, 0] ** 2, axis=-1)  # push dim-0 small
+
+    common = dict(
+        projection_matrix=P, normalizer=normalizer, params=params,
+        state_dim=4, projection_schedule="noise_schedule",
+    )
+    plain = DynamicsAwarePolicy(diffusion, **common)
+    composite = DynamicsAwarePolicy(
+        diffusion, guide_fn=guide_fn, guide_weight=5.0, **common
+    )
+    obs = {
+        "observation": np.array([1.0, 1.0, 0.0, 0.0], np.float32),
+        "desired_goal": np.array([2.0, 2.0], np.float32),
+    }
+    t0 = plain.plan(obs)
+    t1 = composite.plan(obs)
+    assert t1.shape == t0.shape
+    assert not np.allclose(np.asarray(t0), np.asarray(t1))  # guidance acts
+
+    stats = NormStats.from_normalizer(normalizer)
+    viol = float(projection_residual(
+        jnp.asarray(t1), jnp.asarray(P), stats,
+        observation_dim=OBS_DIM, action_dim=ACT_DIM, state_dim=4,
+    ))
+    assert viol < 0.5  # projection still applied under guidance
