@@ -930,3 +930,31 @@ def download_main(argv=None) -> None:
                 minari.load_dataset(name, download=True)
             except Exception as e:
                 print(f"  failed: {e}")
+
+
+def main(argv=None) -> None:
+    """``python -m dadiff_tpu.cli <command> [...]`` dispatcher.
+
+    Commands map to the console scripts (pyproject.toml):
+    train / train-values / eval / download.
+    """
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    commands = {
+        "train": train_main,
+        "train-values": train_value_main,
+        "eval": evaluate_main,
+        "evaluate": evaluate_main,
+        "download": download_main,
+    }
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in commands:
+        raise SystemExit(
+            "usage: python -m dadiff_tpu.cli {train|train-values|eval|download} ...\n"
+            f"unknown command: {argv[0] if argv else '(none)'}"
+        )
+    commands[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    main()
