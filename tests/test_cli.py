@@ -167,3 +167,18 @@ def test_load_model_native_orbax(tmp_path):
     assert len(jax.tree_util.tree_leaves(ema_params)) == len(
         jax.tree_util.tree_leaves(params)
     )
+
+
+def test_module_dispatcher_routes_and_rejects():
+    """`python -m dadiff_tpu.cli <cmd>` routes to the right main and fails
+    loudly on unknown commands (it used to be a silent no-op)."""
+    from dadiff_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="unknown command"):
+        main(["frobnicate"])
+    with pytest.raises(SystemExit, match="usage"):
+        main([])
+    # A real command parses its own argv (argparse exits 0 on --help).
+    with pytest.raises(SystemExit) as ei:
+        main(["download", "--help"])
+    assert ei.value.code == 0
