@@ -497,6 +497,11 @@ def build_eval_parser() -> argparse.ArgumentParser:
                    help="run all episodes in lockstep with batched replans "
                         "(~Nx faster; per-env seeding, not the sequential "
                         "reference protocol)")
+    p.add_argument("--save-episodes", type=str, default=None,
+                   help="save the executed episodes as an npz dataset "
+                        "(requires --batched) — the self-improvement loop: "
+                        "merge the policy's own rollouts into the training "
+                        "set and fine-tune")
     return p
 
 
@@ -796,13 +801,23 @@ def evaluate_main(argv=None) -> dict:
             guide_weight=guide_weight,
         )
 
+    if args.save_episodes and not args.batched:
+        raise SystemExit("--save-episodes requires --batched")
     if args.batched:
         from dadiff_tpu.envs.vector_eval import evaluate_policy_batched
 
         metrics = evaluate_policy_batched(
             policy, args.env, n_episodes=args.n_episodes,
             max_steps=args.max_steps, seed=args.seed,
+            record_episodes=bool(args.save_episodes),
         )
+        recorded = metrics.pop("recorded_episodes", None)
+        if args.save_episodes and recorded is not None:
+            from dadiff_tpu.datasets.sources import save_episodes_npz
+
+            save_episodes_npz(args.save_episodes, recorded)
+            print(f"saved {len(recorded)} executed episodes -> "
+                  f"{args.save_episodes}")
         env = make_env(args.env)  # for the close() below
     else:
         env = make_env(args.env, render=args.render, video_dir=args.video_dir)

@@ -46,11 +46,18 @@ def evaluate_policy_batched(
     seed: int = 42,
     env_kwargs: Optional[dict] = None,
     verbose: bool = True,
+    record_episodes: bool = False,
 ) -> Dict[str, Any]:
     """Run ``n_episodes`` host-env episodes in lockstep with batched replans.
 
     Reuses the policy's jitted sampler (and its projection/stats buffers);
     only the batch dimension changes.
+
+    With ``record_episodes=True`` the executed transitions are returned
+    under ``metrics["recorded_episodes"]`` as npz-schema episodes
+    (processed observations incl. goal-concat, len(obs) = len(act)+1) —
+    the self-improvement loop: evaluate the diffusion policy, save its own
+    executed episodes, merge into the training set, fine-tune.
     """
     import gymnasium as gym
 
@@ -78,6 +85,13 @@ def evaluate_policy_batched(
     lengths = np.zeros(n_episodes, dtype=int)
     success = np.zeros(n_episodes, dtype=bool)
     done = np.zeros(n_episodes, dtype=bool)
+
+    rec_obs = rec_act = rec_rew = None
+    if record_episodes:
+        rec_obs = [[np.ravel(policy._process_observation(o)).astype(np.float32)]
+                   for o in obs_list]
+        rec_act = [[] for _ in range(n_episodes)]
+        rec_rew = [[] for _ in range(n_episodes)]
 
     n_cand = max(1, getattr(policy, "n_candidates", 1))
 
@@ -141,12 +155,19 @@ def evaluate_policy_batched(
             for i, env in enumerate(envs):
                 if done[i]:
                     continue
-                obs, reward, terminated, truncated, info = env.step(
-                    np.ravel(acts[i])
-                )
+                action = np.ravel(acts[i])
+                obs, reward, terminated, truncated, info = env.step(action)
                 obs_list[i] = obs
                 total_reward[i] += float(reward)
                 lengths[i] += 1
+                if record_episodes:
+                    rec_act[i].append(action.astype(np.float32))
+                    rec_rew[i].append(np.float32(reward))
+                    rec_obs[i].append(
+                        np.ravel(policy._process_observation(obs)).astype(
+                            np.float32
+                        )
+                    )
                 if isinstance(info, dict) and info.get("success"):
                     success[i] = True
                 done[i] = done[i] | bool(terminated) | bool(truncated)
@@ -160,7 +181,7 @@ def evaluate_policy_batched(
             print(f"Episode {i + 1}: reward={total_reward[i]:.2f} "
                   f"length={lengths[i]} success={bool(success[i])}")
 
-    return {
+    metrics = {
         "mean_reward": float(total_reward.mean()),
         "std_reward": float(total_reward.std()),
         "mean_length": float(lengths.mean()),
@@ -170,3 +191,14 @@ def evaluate_policy_batched(
         "episode_lengths": lengths.tolist(),
         "episode_success": success.tolist(),
     }
+    if record_episodes:
+        metrics["recorded_episodes"] = [
+            {
+                "observations": np.stack(rec_obs[i]),
+                "actions": np.stack(rec_act[i]) if rec_act[i]
+                else np.zeros((0, act_dim), np.float32),
+                "rewards": np.asarray(rec_rew[i], np.float32),
+            }
+            for i in range(n_episodes)
+        ]
+    return metrics

@@ -187,11 +187,33 @@ def test_batched_vector_eval_smoke():
 
     metrics = evaluate_policy_batched(
         policy, "PointMaze_UMaze-v3", n_episodes=3, max_steps=12, seed=0,
-        verbose=False,
+        verbose=False, record_episodes=True,
     )
     assert len(metrics["episode_rewards"]) == 3
     assert metrics["mean_length"] == 12.0
     assert 0.0 <= metrics["success_rate"] <= 1.0
+
+    # recorded episodes follow the npz schema: len(obs) = len(act)+1,
+    # processed (goal-concat) observations, rewards aligned with actions
+    eps = metrics["recorded_episodes"]
+    assert len(eps) == 3
+    for ep, length in zip(eps, metrics["episode_lengths"]):
+        assert ep["observations"].shape == (length + 1, 6)
+        assert ep["actions"].shape == (length, 2)
+        assert ep["rewards"].shape == (length,)
+
+    # round-trips through the dataset layer
+    from dadiff_tpu.datasets.sources import load_episodes, save_episodes_npz
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "selfplay.npz")
+        save_episodes_npz(path, eps)
+        loaded = load_episodes("npz:" + path)
+        assert len(loaded) == 3
+        np.testing.assert_allclose(
+            loaded[0]["observations"], eps[0]["observations"]
+        )
 
 
 def test_jax_env_tracks_real_env():
