@@ -233,9 +233,13 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
         'synthetic:<kind>[:n=<episodes>,T=<len>]'   hermetic generator
         'npz:<path>'                                cached episodes
         'gym:<EnvName>[:n=<episodes>]'              random-policy collection
-        'expert:<EnvName>[:n=<episodes>,noise=<f>]' waypoint-expert collection
+        'expert:<EnvName>[:n=<episodes>,noise=<f>,corner_safe=1]'
+                                                    waypoint-expert collection
                                                     (maze envs; regenerates
-                                                    D4RL-style data locally)
+                                                    D4RL-style data locally;
+                                                    corner_safe offsets turn
+                                                    waypoints off inner wall
+                                                    corners)
         'mppi:<EnvName>[:n=<episodes>,T=<len>]'     MPPI-expert collection
                                                     (locomotion envs; stands
                                                     in for Minari expert sets)
@@ -267,6 +271,7 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
             max_steps=int(opts.get("T", kwargs.pop("max_steps", 300))),
             noise=float(opts.get("noise", kwargs.pop("noise", 0.2))),
             seed=int(opts.get("seed", kwargs.pop("seed", 0))),
+            corner_safe=bool(int(opts.get("corner_safe", 0))),
         )
     if spec.startswith("mppi:"):
         from dadiff_tpu.envs.mppi_expert import collect_mppi_episodes

@@ -184,6 +184,18 @@ class TemporalUnet(nn.Module):
     time_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     use_pallas_norm: bool = False
+    # Optional (batch, horizon, channels) mesh-axis names for activation
+    # sharding constraints, e.g. ("dp", "sp", "tp"). No-op unless traced
+    # under an ambient mesh (jax.set_mesh) containing those axes — see
+    # dadiff_tpu/parallel/tp.py.
+    act_spec: Optional[Tuple[Optional[str], ...]] = None
+
+    def _constrain(self, x: jax.Array) -> jax.Array:
+        if self.act_spec is None:
+            return x
+        from dadiff_tpu.parallel.tp import maybe_constrain
+
+        return maybe_constrain(x, self.act_spec)
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array) -> jax.Array:
@@ -212,6 +224,7 @@ class TemporalUnet(nn.Module):
                 dim_out, self.kernel_size, dtype=self.dtype,
                 use_pallas_norm=self.use_pallas_norm, name=f"down_{i}_res2",
             )(x, t)
+            x = self._constrain(x)
             skips.append(x)
             if i < n_levels - 1:
                 x = nn.Conv(
@@ -222,6 +235,7 @@ class TemporalUnet(nn.Module):
                     dtype=self.dtype,
                     name=f"down_{i}_downsample",
                 )(x)
+                x = self._constrain(x)
 
         # Bottleneck (reference :177-180).
         mid_dim = dims[-1]
@@ -233,6 +247,7 @@ class TemporalUnet(nn.Module):
             mid_dim, self.kernel_size, dtype=self.dtype,
             use_pallas_norm=self.use_pallas_norm, name="mid_block2",
         )(x, t)
+        x = self._constrain(x)
 
         # Decoder (reference :183-191, :229-233): iterates reversed(in_out[1:])
         # so exactly n_levels-1 skips are consumed; every decoder level has an
@@ -247,7 +262,9 @@ class TemporalUnet(nn.Module):
                 dim_in, self.kernel_size, dtype=self.dtype,
                 use_pallas_norm=self.use_pallas_norm, name=f"up_{i}_res2",
             )(x, t)
+            x = self._constrain(x)
             x = ConvTranspose1d(dim_in, dtype=self.dtype, name=f"up_{i}_upsample")(x)
+            x = self._constrain(x)
 
         # Final head (reference :194-197).
         x = Conv1dBlock(

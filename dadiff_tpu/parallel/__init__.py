@@ -14,6 +14,11 @@ from dadiff_tpu.parallel.mesh import (
     shard_params_fsdp,
 )
 from dadiff_tpu.parallel.planner import make_batched_planner
+from dadiff_tpu.parallel.tp import (
+    maybe_constrain,
+    shard_params_tp,
+    unet_param_specs,
+)
 
 __all__ = [
     "make_mesh",
@@ -21,4 +26,7 @@ __all__ = [
     "replicated_sharding",
     "shard_params_fsdp",
     "make_batched_planner",
+    "maybe_constrain",
+    "shard_params_tp",
+    "unet_param_specs",
 ]
