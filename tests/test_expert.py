@@ -61,3 +61,55 @@ def test_expert_spec_in_dispatcher():
     assert len(eps) == 2
     assert eps[0]["observations"].shape[-1] == 6
     assert eps[0]["actions"].shape[-1] == 2
+
+
+def test_corner_safe_offsets_turn_waypoints():
+    """corner_safe shifts 90-degree-turn waypoints away from the inner wall
+    corner (the point the straight cut between adjacent cell centers grazes)
+    and keeps the turn-flag list aligned with the path."""
+    c_plain = WaypointController(MAZE_MAPS["medium"])
+    c_safe = WaypointController(MAZE_MAPS["medium"], corner_safe=True)
+    pos = np.array([-2.5, -1.5])
+    goal = np.array([1.5, 1.5])
+    c_plain._plan(pos, goal)
+    c_safe._plan(pos, goal)
+    assert len(c_safe._path) == len(c_plain._path) == len(c_safe._turn)
+    assert any(c_safe._turn), "route should contain at least one turn"
+    moved = [
+        float(np.linalg.norm(a - b))
+        for a, b, t in zip(c_safe._path, c_plain._path, c_safe._turn)
+        if t
+    ]
+    assert moved and all(abs(d - 0.2) < 1e-9 for d in moved)
+    # straight waypoints are untouched
+    same = [
+        float(np.linalg.norm(a - b))
+        for a, b, t in zip(c_safe._path, c_plain._path, c_safe._turn)
+        if not t
+    ]
+    assert all(d < 1e-9 for d in same)
+    # offset direction points away from the inner corner: clearance of the
+    # prev->wp->next polyline midpoint from the corner cell grows
+    for i, t in enumerate(c_safe._turn[:-1]):
+        if not t or i == 0:
+            continue
+        prev_p, wp_p = c_plain._path[i - 1], c_plain._path[i]
+        next_p = c_plain._path[i + 1]
+        corner = (prev_p + next_p) / 2.0  # inner corner location
+        assert np.linalg.norm(c_safe._path[i] - corner) > np.linalg.norm(
+            wp_p - corner
+        )
+
+
+def test_corner_safe_expert_still_solves():
+    env = PointMazeJax(map_name="medium")
+    state, obs = env.reset(jax.random.PRNGKey(5), batch_size=1)
+    controller = WaypointController(MAZE_MAPS["medium"], corner_safe=True)
+    reached = False
+    for _ in range(600):
+        a = controller.get_action(np.asarray(obs[0]))
+        state, obs, reward, done = env.step(state, jnp.asarray(a)[None])
+        if float(jnp.linalg.norm(state.pos - state.goal)) <= 0.45:
+            reached = True
+            break
+    assert reached
