@@ -45,6 +45,7 @@ def parallel_sample_loop(
     init_noise: Optional[jax.Array] = None,
     step_noise: Optional[jax.Array] = None,
     return_sweeps: bool = False,
+    time_shard_axis: Optional[str] = None,
 ):
     """Sliding-window Picard iteration (ParaDiGMS-style).
 
@@ -66,6 +67,13 @@ def parallel_sample_loop(
         max_sweeps: sweep cap (default 2*T, a loose exactness backstop).
         return_sweeps: also return the number of sweeps (sequential model
             calls) used.
+        time_shard_axis: mesh axis name to shard the (window*batch)-flattened
+            model call over — time-axis model parallelism, the diffusion
+            serving analog of pipeline parallelism: each sweep's W-timestep
+            denoiser call is divided across devices, cutting batch-1 latency
+            by up to the mesh-axis size. Requires tracing under an ambient
+            mesh (``jax.set_mesh``) whose axis divides window*batch; no-op
+            otherwise (parallel/tp.py::maybe_constrain).
     """
     ts = default_timesteps(schedule.n_timesteps, sampling_timesteps)
     T = int(ts.shape[0])
@@ -95,6 +103,13 @@ def parallel_sample_loop(
 
         x_flat = x_win.reshape((W * batch,) + shape[1:])
         t_flat = jnp.repeat(t_win, batch)
+        if time_shard_axis is not None:
+            from dadiff_tpu.parallel.tp import maybe_constrain
+
+            x_flat = maybe_constrain(
+                x_flat, (time_shard_axis,) + (None,) * (len(shape) - 1)
+            )
+            t_flat = maybe_constrain(t_flat, (time_shard_axis,))
         model_out = apply_fn(params, x_flat, t_flat)
         mean, log_var = p_mean_variance(
             model_out, schedule, x_flat, t_flat,

@@ -77,3 +77,40 @@ def test_parallel_accuracy_at_practical_tol(setup, rng):
         init_noise=init, step_noise=noise, tol=1e-2,
     )
     assert float(jnp.max(jnp.abs(par - seq))) < 0.05
+
+
+def test_time_sharded_window_matches(setup, rng):
+    """time_shard_axis: the windowed model call sharded over a mesh axis
+    (time-axis parallelism for serving) is numerically inert."""
+    from dadiff_tpu.parallel.mesh import make_mesh
+
+    d, params = setup
+    shape = (2, 8, 5)
+    init = jax.random.normal(jax.random.PRNGKey(1), shape)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (20,) + shape)
+
+    ref = parallel_sample_loop(
+        d.apply, params, d.schedule, rng, shape,
+        init_noise=init, step_noise=noise, tol=1e-6, window=8,
+    )
+    mesh = make_mesh({"pt": 8})
+    with jax.set_mesh(mesh):
+        out = jax.jit(
+            lambda p: parallel_sample_loop(
+                d.apply, p, d.schedule, rng, shape,
+                init_noise=init, step_noise=noise, tol=1e-6, window=8,
+                time_shard_axis="pt",
+            )
+        )(params)
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_time_shard_axis_noop_without_mesh(setup, rng):
+    d, params = setup
+    shape = (1, 8, 5)
+    out = parallel_sample_loop(
+        d.apply, params, d.schedule, rng, shape, tol=1e-2,
+        time_shard_axis="pt",
+    )
+    assert out.shape == shape and bool(jnp.all(jnp.isfinite(out)))
