@@ -71,7 +71,11 @@ def main():
             return acc
         return jax.jit(multi)
 
-    def sustained(chain_fn, k1=4, k2=16):
+    def sustained(chain_fn, k1=8, k2=64):
+        # wide K spread: the measured delta (k2-k1 chains) is ~90 ms of
+        # device work for the megakernel, an order of magnitude above this
+        # host's per-call tunnel-RPC jitter, so the marginal cost is stable
+        # run to run.
         f1, f2 = multi_chain(k1, chain_fn), multi_chain(k2, chain_fn)
         f1(params, jax.random.PRNGKey(0)).block_until_ready()
         f2(params, jax.random.PRNGKey(0)).block_until_ready()
