@@ -272,6 +272,7 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
             noise=float(opts.get("noise", kwargs.pop("noise", 0.2))),
             seed=int(opts.get("seed", kwargs.pop("seed", 0))),
             corner_safe=bool(int(opts.get("corner_safe", 0))),
+            lookahead=bool(int(opts.get("lookahead", 0))),
         )
     if spec.startswith("mppi:"):
         from dadiff_tpu.envs.mppi_expert import collect_mppi_episodes
