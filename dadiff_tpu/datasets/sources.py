@@ -233,13 +233,14 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
         'synthetic:<kind>[:n=<episodes>,T=<len>]'   hermetic generator
         'npz:<path>'                                cached episodes
         'gym:<EnvName>[:n=<episodes>]'              random-policy collection
-        'expert:<EnvName>[:n=<episodes>,noise=<f>,corner_safe=1]'
+        'expert:<EnvName>[:n=<episodes>,noise=<f>,corner_safe=1,lookahead=1]'
                                                     waypoint-expert collection
                                                     (maze envs; regenerates
                                                     D4RL-style data locally;
                                                     corner_safe offsets turn
                                                     waypoints off inner wall
-                                                    corners)
+                                                    corners; lookahead skips
+                                                    straight-run waypoints)
         'mppi:<EnvName>[:n=<episodes>,T=<len>]'     MPPI-expert collection
                                                     (locomotion envs; stands
                                                     in for Minari expert sets)
@@ -271,8 +272,8 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
             max_steps=int(opts.get("T", kwargs.pop("max_steps", 300))),
             noise=float(opts.get("noise", kwargs.pop("noise", 0.2))),
             seed=int(opts.get("seed", kwargs.pop("seed", 0))),
-            corner_safe=bool(int(opts.get("corner_safe", 0))),
-            lookahead=bool(int(opts.get("lookahead", 0))),
+            corner_safe=bool(int(opts.get("corner_safe", kwargs.pop("corner_safe", 0)))),
+            lookahead=bool(int(opts.get("lookahead", kwargs.pop("lookahead", 0)))),
         )
     if spec.startswith("mppi:"):
         from dadiff_tpu.envs.mppi_expert import collect_mppi_episodes

@@ -113,3 +113,35 @@ def test_corner_safe_expert_still_solves():
             reached = True
             break
     assert reached
+
+
+def test_lookahead_skips_straights_never_turns():
+    """lookahead targets the next turn (or goal) directly on straight runs
+    and never skips a turn waypoint."""
+    c = WaypointController(MAZE_MAPS["large"], lookahead=True)
+    pos = np.array([-4.5, -3.5])
+    goal = np.array([4.5, 3.5])
+    c._plan(pos, goal)
+    turn_xys = [p.copy() for p, t in zip(c._path, c._turn) if t]
+    # drive the skip logic from the start position
+    obs = np.concatenate([pos, np.zeros(2), goal])
+    c.get_action(obs)
+    # first target after skipping must be a turn waypoint (or the goal)
+    assert c._turn[0] or len(c._path) == 1
+    # all turn waypoints are still present, in order
+    remaining_turns = [p for p, t in zip(c._path, c._turn) if t]
+    assert len(remaining_turns) == len(turn_xys)
+
+
+def test_lookahead_expert_still_solves():
+    env = PointMazeJax(map_name="medium")
+    state, obs = env.reset(jax.random.PRNGKey(7), batch_size=1)
+    controller = WaypointController(MAZE_MAPS["medium"], lookahead=True)
+    reached = False
+    for _ in range(600):
+        a = controller.get_action(np.asarray(obs[0]))
+        state, obs, reward, done = env.step(state, jnp.asarray(a)[None])
+        if float(jnp.linalg.norm(state.pos - state.goal)) <= 0.45:
+            reached = True
+            break
+    assert reached
