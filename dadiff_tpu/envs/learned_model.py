@@ -55,6 +55,14 @@ class ModelStats(NamedTuple):
     delta_std: jax.Array
 
 
+def _chunk_sizes(n_steps: int, chunk: int):
+    """Chunk schedule covering exactly ``n_steps`` SGD steps: full chunks
+    plus one exactly-sized remainder (its different scan length costs one
+    extra compile, only when n_steps % chunk != 0)."""
+    full, rem = divmod(n_steps, chunk)
+    return [chunk] * full + ([rem] if rem else [])
+
+
 def _transitions(episodes: Sequence[dict]) -> Tuple[np.ndarray, ...]:
     obs, act, nxt = [], [], []
     for ep in episodes:
@@ -124,7 +132,7 @@ def train_dynamics_model(
     chunk = max(1, min(500, n_steps))
 
     @jax.jit
-    def run_chunk(params, opt_state, key):
+    def run_chunk(params, opt_state, keys):
         def body(carry, k):
             p, s = carry
             idx = jax.random.randint(k, (batch_size,), 0, n_train)
@@ -139,20 +147,23 @@ def train_dynamics_model(
             updates, s = opt.update(grads, s)
             return (optax.apply_updates(p, updates), s), loss
 
-        keys = jax.random.split(key, chunk)
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), keys
         )
         return params, opt_state, losses[-50:].mean()
 
     key = jax.random.PRNGKey(seed + 1)
-    for i in range(0, n_steps, chunk):
+    done_steps = 0
+    for size in _chunk_sizes(n_steps, chunk):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = run_chunk(params, opt_state, sub)
+        params, opt_state, loss = run_chunk(
+            params, opt_state, jax.random.split(sub, size)
+        )
+        done_steps += size
         if verbose:
             print(
-                f"dynamics step {min(i + chunk, n_steps)}: "
-                f"loss={float(loss):.5f}", flush=True,
+                f"dynamics step {done_steps}: loss={float(loss):.5f}",
+                flush=True,
             )
 
     # held-out one-step R^2 in physical delta space
@@ -243,7 +254,7 @@ def train_dynamics_ensemble(
         return optax.apply_updates(p, updates), s, loss
 
     @jax.jit
-    def run_chunk(stacked, opt_states, key):
+    def run_chunk(stacked, opt_states, keys):
         def body(carry, k):
             ps, ss = carry
             keys_e = jax.random.split(k, n_models)
@@ -251,18 +262,22 @@ def train_dynamics_ensemble(
             return (ps, ss), losses
 
         (stacked, opt_states), losses = jax.lax.scan(
-            body, (stacked, opt_states), jax.random.split(key, chunk)
+            body, (stacked, opt_states), keys
         )
         return stacked, opt_states, losses[-50:].mean()
 
     key = jax.random.PRNGKey(seed + 1)
-    for i in range(0, n_steps, chunk):
+    done_steps = 0
+    for size in _chunk_sizes(n_steps, chunk):
         key, sub = jax.random.split(key)
-        stacked, opt_states, loss = run_chunk(stacked, opt_states, sub)
+        stacked, opt_states, loss = run_chunk(
+            stacked, opt_states, jax.random.split(sub, size)
+        )
+        done_steps += size
         if verbose:
             print(
-                f"ensemble step {min(i + chunk, n_steps)}: "
-                f"loss={float(loss):.5f}", flush=True,
+                f"ensemble step {done_steps}: loss={float(loss):.5f}",
+                flush=True,
             )
 
     # held-out one-step R^2, per member and for the ensemble mean
@@ -293,8 +308,8 @@ def make_ensemble_step_fn(model, stacked_params, stats, n_samples: int):
 
     The planner evaluates ``n_samples`` candidate sequences with leading
     axis N on ``(N, B, d)`` states; this step function assigns each
-    candidate to one ensemble member (candidate k -> member k mod E) for
-    its WHOLE rollout. Candidates that only look good under one member's
+    candidate to one ensemble member (contiguous blocks: candidates
+    ``[e*N/E, (e+1)*N/E)`` -> member ``e``) for its WHOLE rollout. Candidates that only look good under one member's
     idiosyncratic errors score badly under the members evaluating their
     neighbors, so the MPPI weighting suppresses model exploitation.
 
@@ -379,27 +394,44 @@ def train_inverse_dynamics(
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, opt_state, o, nx, a):
-        def loss_fn(p):
-            pred = model.apply({"params": p}, o, nx)
-            return jnp.mean((pred - a) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
-
     tr_o = jnp.asarray(obs_n[train_idx])
     tr_n = jnp.asarray(nxt_n[train_idx])
     tr_a = jnp.asarray(act_n[train_idx])
     n_train = len(train_idx)
-    for i in range(n_steps):
-        idx = jnp.asarray(rng.randint(0, n_train, size=batch_size))
-        params, opt_state, loss = step(
-            params, opt_state, tr_o[idx], tr_n[idx], tr_a[idx]
+    # chunked lax.scan like the forward-dynamics trainers above: one
+    # dispatch per chunk, not per SGD step (the per-call tunnel RPC would
+    # otherwise dominate this live-eval-path fit)
+    chunk = max(1, min(500, n_steps))
+
+    @jax.jit
+    def run_chunk(params, opt_state, keys):
+        def body(carry, k):
+            p, s = carry
+            idx = jax.random.randint(k, (batch_size,), 0, n_train)
+
+            def loss_fn(p_):
+                pred = model.apply({"params": p_}, tr_o[idx], tr_n[idx])
+                return jnp.mean((pred - tr_a[idx]) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(grads, s)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys
         )
-        if verbose and (i + 1) % 500 == 0:
-            print(f"invdyn step {i + 1}: loss={float(loss):.5f}", flush=True)
+        return params, opt_state, losses[-50:].mean()
+
+    key = jax.random.PRNGKey(seed + 1)
+    done_steps = 0
+    for size in _chunk_sizes(n_steps, chunk):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = run_chunk(
+            params, opt_state, jax.random.split(sub, size)
+        )
+        done_steps += size
+        if verbose:
+            print(f"invdyn step {done_steps}: loss={float(loss):.5f}", flush=True)
 
     pred_n = model.apply(
         {"params": params}, jnp.asarray(obs_n[val_idx]), jnp.asarray(nxt_n[val_idx])
@@ -434,7 +466,12 @@ def halfcheetah_reward_done(obs, next_obs, action):
 def hopper_reward_done(obs, next_obs, action):
     x_vel = next_obs[..., 5]
     z, angle = next_obs[..., 0], next_obs[..., 1]
-    healthy = (z > 0.7) & (jnp.abs(angle) < 0.2)
+    # gymnasium Hopper-v5 is_healthy: z and angle ranges AND every remaining
+    # state element within healthy_state_range (-100, 100) — without the
+    # state-range term, learned-sim rollouts with exploding velocities score
+    # as huge reward instead of terminating, and MPPI selects the blow-up.
+    state_ok = jnp.all(jnp.abs(next_obs[..., 2:]) < 100.0, axis=-1)
+    healthy = (z > 0.7) & (jnp.abs(angle) < 0.2) & state_ok
     reward = x_vel + 1.0 * healthy - 1e-3 * jnp.sum(action**2, axis=-1)
     return reward, ~healthy
 

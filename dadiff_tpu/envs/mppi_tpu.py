@@ -177,7 +177,7 @@ def collect_mppi_tpu_episodes(
     rng = np.random.RandomState(seed)
     pool: List[dict] = list(seed_episodes)
     collected: List[dict] = []
-    per_iter = max(1, n_episodes // n_iterations)
+    per_iter = max(1, -(-n_episodes // n_iterations))  # ceil: honors n_iterations
 
     envs = [gym.make(env_name) for _ in range(batch_envs)]
     act_dim = envs[0].action_space.shape[0]

@@ -25,17 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from dadiff_tpu.guides.policies import GuidedPolicy
-from dadiff_tpu.guides.sampling import Conditions
-
-
-def _batched_conditions(normed_obs: np.ndarray, observation_dim: int,
-                        horizon: int, transition_dim: int) -> Conditions:
-    batch = normed_obs.shape[0]
-    values = np.zeros((batch, horizon, transition_dim), np.float32)
-    values[:, 0, :observation_dim] = normed_obs
-    mask = np.zeros((horizon,), bool)
-    mask[0] = True
-    return Conditions(values=values, mask=mask)
+from dadiff_tpu.guides.sampling import conditions_for_initial_obs_np
 
 
 def evaluate_policy_batched(
@@ -105,7 +95,7 @@ def evaluate_policy_batched(
         if n_cand > 1:
             # best-of-N per env: (N*K) plans in one call, best per env kept
             tiled = np.repeat(normed, n_cand, axis=0)
-            cond = _batched_conditions(tiled, obs_dim, horizon, trans_dim)
+            cond = conditions_for_initial_obs_np(tiled, obs_dim, horizon, trans_dim)
             policy._rng, key = jax.random.split(policy._rng)
             all_trajs = policy._plan(
                 policy.params, key, cond, policy._P, policy._stats
@@ -120,7 +110,7 @@ def evaluate_policy_batched(
                 )[:, 0]
             )  # (N, H, D)
         else:
-            cond = _batched_conditions(normed, obs_dim, horizon, trans_dim)
+            cond = conditions_for_initial_obs_np(normed, obs_dim, horizon, trans_dim)
             policy._rng, key = jax.random.split(policy._rng)
             trajs = np.asarray(
                 policy._plan(policy.params, key, cond, policy._P, policy._stats)

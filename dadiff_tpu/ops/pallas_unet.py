@@ -332,7 +332,13 @@ def make_pallas_chain(
 
         @pl.when(i == 0)
         def _():
-            x_ref[:] = x0_ref[:]
+            if condition_row0:
+                # Condition the initial iterate BEFORE the first model call
+                # (make_sampler applies conditions to x_T as well).
+                row0 = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+                x_ref[:] = jnp.where(row0 == 0, cond_ref[:], x0_ref[:])
+            else:
+                x_ref[:] = x0_ref[:]
 
         x = x_ref[:]
         eps_out = _unet_forward(x, memb_ref[0], wrefs, ops, compute_dtype)
@@ -440,15 +446,25 @@ def pallas_p_sample_loop(
     weight_dtype=jnp.bfloat16,
     init_noise: Optional[jax.Array] = None,
     step_noise: Optional[jax.Array] = None,
+    clip_denoised: bool = True,
+    predict_epsilon: bool = True,
+    cond: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Drop-in (batch-1) equivalent of ``GaussianDiffusion.p_sample_loop``
-    running the entire chain as one Pallas kernel. shape = (1, H, D)."""
+    running the entire chain as one Pallas kernel. shape = (1, H, D).
+
+    ``cond``: optional (H, D) or (1, H, D) array whose row 0 is inpainted
+    into every iterate (including the initial one), matching the
+    make_sampler initial-observation conditioning.
+    """
     assert shape[0] == 1, "megakernel chain is the batch-1 latency path"
     _, H, D = shape
     chain = make_pallas_chain(
         unet, schedule, H,
         sampling_timesteps=sampling_timesteps, interpret=interpret,
         weight_dtype=weight_dtype,
+        clip_denoised=clip_denoised, predict_epsilon=predict_epsilon,
+        condition_row0=cond is not None,
     )
     ts = chain.timesteps
     T = chain.n_steps
@@ -461,5 +477,9 @@ def pallas_p_sample_loop(
     flat_w, m_embs, scal = prepare_chain_operands(
         unet, schedule, params, ts, weight_dtype=weight_dtype
     )
-    out = chain(flat_w, x[0], m_embs, step_noise[:, 0], scal)
+    if cond is not None:
+        cond = jnp.asarray(cond, jnp.float32).reshape(H, D)
+        out = chain(flat_w, x[0], m_embs, step_noise[:, 0], scal, cond)
+    else:
+        out = chain(flat_w, x[0], m_embs, step_noise[:, 0], scal)
     return out[None]

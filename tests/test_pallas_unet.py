@@ -86,3 +86,48 @@ def test_flatten_params_count_and_shapes(setup):
     assert all(a.ndim == 2 for a in flat)
     # 3-level arch: 12 weight-bearing module groups; spot-check first conv
     assert flat[0].shape == (5 * D, 32)  # down_0_res1 block1 conv, tap-major
+
+
+def test_megakernel_conditioned_matches_guided_sampler(setup):
+    """cond: row-0 inpainting applied to the initial iterate AND every step
+    — must reproduce the make_sampler conditioning path exactly (same PRNG
+    split pattern => identical noise draws)."""
+    from dadiff_tpu.guides.sampling import (
+        conditions_for_initial_obs,
+        make_sampler,
+    )
+
+    unet, d, params, init, noise, gold = setup
+    obs = jnp.linspace(-0.5, 0.5, 6)
+    cond = conditions_for_initial_obs(obs, 6, H, D)
+    key = jax.random.PRNGKey(9)
+
+    ref = make_sampler(d, jit=False)(params, key, cond)
+    out = pallas_p_sample_loop(
+        unet, params, d.schedule, key, (1, H, D),
+        interpret=True, weight_dtype=jnp.float32,
+        cond=cond.values[0] if cond.values.ndim == 3 else cond.values,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_megakernel_forwards_predict_epsilon_and_clip(setup):
+    """predict_epsilon=False / clip_denoised=False reach the kernel (were
+    silently ignored before)."""
+    from dadiff_tpu.models.diffusion import p_sample_loop
+
+    unet, d, params, init, noise, gold = setup
+    ref = p_sample_loop(
+        d.apply, params, d.schedule, jax.random.PRNGKey(5),
+        (1, H, D), init_noise=init, step_noise=noise,
+        clip_denoised=False, predict_epsilon=False,
+    )
+    out = pallas_p_sample_loop(
+        unet, params, d.schedule, jax.random.PRNGKey(5), (1, H, D),
+        interpret=True, weight_dtype=jnp.float32,
+        init_noise=init, step_noise=noise,
+        clip_denoised=False, predict_epsilon=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # and differs from the default-config chain (proves the flags act)
+    assert float(jnp.max(jnp.abs(out - gold))) > 1e-3
