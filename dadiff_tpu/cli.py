@@ -466,6 +466,10 @@ def build_eval_parser() -> argparse.ArgumentParser:
                    help="obstacle-aware projection: revert plan rows the "
                         "projection drags into maze wall cells (PointMaze "
                         "envs only)")
+    p.add_argument("--wall-margin", type=float, default=None,
+                   help="wall-collision probe margin for --wall-aware "
+                        "(default: the env's agent radius; 0 = center-cell "
+                        "only)")
     p.add_argument("--action-source", type=str, default="plan",
                    choices=["plan", "inverse-dynamics"],
                    help="execute the plan's action columns, or derive "
@@ -791,6 +795,7 @@ def evaluate_main(argv=None) -> dict:
             sampling_timesteps=sampling_timesteps,
             parity_mode=args.parity_mode,
             wall_grid=wall_grid,
+            wall_margin=args.wall_margin,
             seed=args.seed,
             n_candidates=args.n_candidates,
             sampler=args.sampler,
@@ -843,6 +848,7 @@ def evaluate_main(argv=None) -> dict:
             "action_source": args.action_source,
             "batched": args.batched,
             "wall_aware": getattr(args, "wall_aware", False),
+            "wall_margin": getattr(args, "wall_margin", None),
             "parity_mode": args.parity_mode,
             "projection_schedule": args.projection_schedule,
             "projection_strength": args.projection_strength,

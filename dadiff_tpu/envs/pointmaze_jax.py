@@ -68,6 +68,18 @@ VELOCITY_LIMIT = 5.0
 AGENT_RADIUS = 0.1
 
 
+def xy_to_cell(xy, H: int, W: int):
+    """Physical xy -> (row, col) grid cell, gymnasium-robotics convention
+    (origin at maze center, y up / row down). The single source of the
+    coordinate mapping — used by the env and by the wall-aware projection
+    (ops/projection.py)."""
+    col = jnp.floor(xy[..., 0] + W / 2.0).astype(jnp.int32)
+    row = jnp.floor(H / 2.0 - xy[..., 1]).astype(jnp.int32)
+    col = jnp.clip(col, 0, W - 1)
+    row = jnp.clip(row, 0, H - 1)
+    return row, col
+
+
 class PointMazeState(NamedTuple):
     """Batched env state pytree."""
 
@@ -118,12 +130,7 @@ class PointMazeJax:
         return np.stack([x, y], axis=-1).astype(np.float32)
 
     def _xy_to_cell(self, xy: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        H, W = self.maze.shape
-        col = jnp.floor(xy[..., 0] + W / 2.0).astype(jnp.int32)
-        row = jnp.floor(H / 2.0 - xy[..., 1]).astype(jnp.int32)
-        col = jnp.clip(col, 0, W - 1)
-        row = jnp.clip(row, 0, H - 1)
-        return row, col
+        return xy_to_cell(xy, *self.maze.shape)
 
     def _is_wall(self, xy: jax.Array) -> jax.Array:
         """Wall check with agent radius: probe the 4 radius-offset corners."""

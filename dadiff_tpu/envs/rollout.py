@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from dadiff_tpu.envs.pointmaze_jax import PointMazeJax
+from dadiff_tpu.envs.pointmaze_jax import GOAL_THRESHOLD, PointMazeJax
 from dadiff_tpu.guides.sampling import (
     ProjectionSpec,
     conditions_for_initial_obs,
@@ -99,10 +99,20 @@ def make_ondevice_evaluator(
                 cond = conditions_for_initial_obs(tiled, obs_dim, horizon, trans_dim)
                 trajs = plan(params, key, cond, P, stats)  # (B*N, H, D)
                 trajs = trajs.reshape(batch_size, n_candidates, horizon, trans_dim)
-                # score: final predicted position vs goal (normalized space)
-                goal_norm = normed_obs[:, obs_dim - 2 : obs_dim]  # (B, 2)
-                final_pos = trajs[:, :, -1, 0:2]  # (B, N, 2)
-                scores = jnp.linalg.norm(final_pos - goal_norm[:, None], axis=-1)
+                # score: final predicted position vs goal, compared in
+                # PHYSICAL space — position dims and goal dims carry
+                # different normalizer stat blocks, so normalized-space
+                # distance is not monotone in physical distance
+                g0, g1 = obs_dim - 2, obs_dim
+                goal = (
+                    normed_obs[:, g0:g1] * stats.obs_std[g0:g1]
+                    + stats.obs_mean[g0:g1]
+                )  # (B, 2)
+                final_pos = (
+                    trajs[:, :, -1, 0:2] * stats.obs_std[0:2]
+                    + stats.obs_mean[0:2]
+                )  # (B, N, 2)
+                scores = jnp.linalg.norm(final_pos - goal[:, None], axis=-1)
                 best = jnp.argmin(scores, axis=1)  # (B,)
                 traj = jnp.take_along_axis(
                     trajs, best[:, None, None, None], axis=1
@@ -122,7 +132,7 @@ def make_ondevice_evaluator(
                 state, obs, reward, _ = env.step(state, a)
                 total_reward = total_reward + reward
                 dist = jnp.linalg.norm(state.pos - state.goal, axis=-1)
-                succeeded = succeeded | (dist <= 0.45)
+                succeeded = succeeded | (dist <= GOAL_THRESHOLD)
                 return (state, obs, total_reward, succeeded), None
 
             (state, obs, total_reward, succeeded), _ = lax.scan(

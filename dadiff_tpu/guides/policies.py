@@ -34,15 +34,40 @@ from dadiff_tpu.ops.projection import NormStats
 
 
 def goal_distance_scorer(trajs: jax.Array, normed_obs: jax.Array) -> jax.Array:
-    """Default best-of-N scorer for goal-conditioned envs: distance between
-    the plan's final position (obs dims 0:2) and the goal (last two obs dims
-    of the conditioned observation, the layout of sources.flatten_observation).
-    Works in normalized space — monotone in physical distance for affine
-    normalizers. trajs: (N, H, D); normed_obs: (obs_dim,). Returns (N,)."""
+    """Normalized-space goal-distance scorer: distance between the plan's
+    final position (obs dims 0:2) and the goal (last two obs dims of the
+    conditioned observation, the layout of sources.flatten_observation).
+
+    CAVEAT: position dims and goal dims are normalized with *different*
+    stat blocks (goals cluster at cells), so this is only monotone in
+    physical distance when the two blocks happen to match. Prefer
+    :func:`make_goal_distance_scorer` (the policy default when a normalizer
+    is available), which compares in physical space."""
     obs_dim = normed_obs.shape[-1]
     goal = normed_obs[obs_dim - 2 : obs_dim]
     final_pos = trajs[:, -1, 0:2]
     return jnp.linalg.norm(final_pos - goal[None], axis=-1)
+
+
+def make_goal_distance_scorer(obs_mean, obs_std):
+    """Physical-space goal-distance scorer: unnormalizes the plan's final
+    position (obs dims 0:2) and the goal (last two obs dims) with their own
+    normalizer stat blocks before comparing. This is the correct metric —
+    position and goal stats generally differ, so the normalized-space
+    distance can prefer plans that end physically farther from the goal."""
+    obs_mean = jnp.asarray(obs_mean, jnp.float32)
+    obs_std = jnp.asarray(obs_std, jnp.float32)
+
+    def scorer(trajs: jax.Array, normed_obs: jax.Array) -> jax.Array:
+        obs_dim = normed_obs.shape[-1]
+        final_pos = trajs[:, -1, 0:2] * obs_std[0:2] + obs_mean[0:2]
+        goal = (
+            normed_obs[obs_dim - 2 : obs_dim] * obs_std[obs_dim - 2 : obs_dim]
+            + obs_mean[obs_dim - 2 : obs_dim]
+        )
+        return jnp.linalg.norm(final_pos - goal[None], axis=-1)
+
+    return scorer
 
 
 def make_velocity_scorer(vel_index: int):
@@ -135,7 +160,14 @@ class GuidedPolicy:
         # candidate_scorer (lower is better). New serving capability with no
         # reference counterpart (its eval runs batch_size=1, policies.py:217).
         self.n_candidates = max(1, n_candidates)
-        self.candidate_scorer = candidate_scorer or goal_distance_scorer
+        if candidate_scorer is not None:
+            self.candidate_scorer = candidate_scorer
+        elif normalizer is not None:
+            self.candidate_scorer = make_goal_distance_scorer(
+                normalizer.obs_mean, normalizer.obs_std
+            )
+        else:
+            self.candidate_scorer = goal_distance_scorer
         # Subclasses may set these (device copies used by the sampler)
         self._P = None
         self._stats = None
@@ -287,6 +319,7 @@ class DynamicsAwarePolicy(GuidedPolicy):
         sampling_timesteps: Optional[int] = None,
         parity_mode: bool = False,
         wall_grid=None,
+        wall_margin: Optional[float] = None,
         seed: int = 0,
         guide_fn: Optional[Callable] = None,
         guide_weight: float = 0.0,
@@ -296,6 +329,21 @@ class DynamicsAwarePolicy(GuidedPolicy):
         # default action_horizon = horizon for MPC behavior (reference :304-305)
         if action_horizon is None:
             action_horizon = horizon
+
+        if normalizer is None:
+            # GuidedPolicy.plan unconditionally normalizes observations, so
+            # a missing normalizer would construct fine and crash on first
+            # use (also under parity_mode).
+            raise ValueError("DynamicsAwarePolicy requires a normalizer")
+        for name, given, expected in (
+            ("observation_dim", observation_dim, diffusion.observation_dim),
+            ("action_dim", action_dim, diffusion.action_dim),
+        ):
+            if given is not None and given != expected:
+                raise ValueError(
+                    f"{name}={given} does not match the diffusion model's "
+                    f"{expected}"
+                )
 
         spec = None
         if projection_matrix is not None and normalizer is not None:
@@ -307,24 +355,17 @@ class DynamicsAwarePolicy(GuidedPolicy):
                 strength=projection_strength,
                 parity_mode=parity_mode,
                 wall_grid=wall_grid,
+                wall_margin=wall_margin,
             )
         elif not parity_mode:
             # Without these the policy would silently sample like plain
             # guided while reporting itself dynamics-aware. Only
             # parity_mode=True (reproducing the reference's as-implemented
             # no-projection sampling) may omit them.
-            missing = [
-                name
-                for name, v in (
-                    ("projection_matrix", projection_matrix),
-                    ("normalizer", normalizer),
-                )
-                if v is None
-            ]
             raise ValueError(
-                f"DynamicsAwarePolicy requires {' and '.join(missing)} to "
-                f"apply projection; pass parity_mode=True for the reference's "
-                f"no-projection sampling"
+                "DynamicsAwarePolicy requires a projection_matrix to apply "
+                "projection; pass parity_mode=True for the reference's "
+                "no-projection sampling"
             )
 
         # guidance composes with projection in the same scan body (the

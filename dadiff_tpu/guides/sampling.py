@@ -103,6 +103,11 @@ class ProjectionSpec:
     strength: float = 1.0
     parity_mode: bool = False
     wall_grid: Optional[Tuple[Tuple[int, ...], ...]] = None
+    # wall-collision probe margin (None/0.0 = center-cell-only, the
+    # measured-best default; the env's AGENT_RADIUS probes the 4 corners
+    # like the env's collision check but over-reverts — see
+    # ops/projection.wall_violation_mask)
+    wall_margin: Optional[float] = None
 
 
 def make_sampler(
@@ -188,8 +193,14 @@ def make_sampler(
         x = jax.random.normal(init_key, shape)
         x = conditions.apply(x)
         # all per-step noise drawn in one fused op outside the scan — inside
-        # the body it would serialize a threefry chain per iteration
-        step_noise = jax.random.normal(noise_key, (ts.shape[0],) + shape)
+        # the body it would serialize a threefry chain per iteration.
+        # Deterministic samplers (dpmpp; ddim at eta=0) never consume it, so
+        # skip materializing the (T, B, H, D) buffer there.
+        if sampler == "dpmpp" or (sampler == "ddim" and ddim_eta == 0.0):
+            step_noise = jnp.zeros((ts.shape[0],) + (1,) * len(shape))
+            step_noise = jnp.broadcast_to(step_noise, (ts.shape[0],) + shape)
+        else:
+            step_noise = jax.random.normal(noise_key, (ts.shape[0],) + shape)
 
         def body(carry, inputs):
             x, x0_prev, h_prev = carry
@@ -243,8 +254,11 @@ def make_sampler(
                 x_upd = (sig_next / sig_t) * x - jnp.sqrt(a_next) * (
                     jnp.exp(-h) - 1.0
                 ) * D
-                # final step lands exactly on the predicted clean sample
-                x_next = jnp.where(t_prev >= 0, x_upd, D)
+                # final step lands exactly on the predicted clean sample:
+                # first-order there (standard lower_order_final — the
+                # clipped final lambda inflates h, and second-order
+                # extrapolation would overshoot outside [-1, 1])
+                x_next = jnp.where(t_prev >= 0, x_upd, x0)
                 h_prev = h
             elif sampler == "ddim":
                 # eps-space classifier guidance (standard form) + strided
@@ -304,6 +318,9 @@ def make_sampler(
                     action_dim=diffusion.action_dim,
                     state_dim=projection.state_dim,
                     wall_grid=wall_grid,
+                    wall_margin=(
+                        projection.wall_margin if use_projection else None
+                    ),
                 )
 
             # re-impose hard conditions after every step (policies.py:109-110)

@@ -96,19 +96,35 @@ def projection_alpha(
 
 
 def wall_violation_mask(
-    positions: jax.Array, wall_grid: jax.Array
+    positions: jax.Array, wall_grid: jax.Array, margin: Optional[float] = None
 ) -> jax.Array:
     """(..., 2) physical xy -> bool mask, True where the position lies in a
-    wall cell. Grid layout follows gymnasium-robotics maze maps (origin at
-    maze center, y up / row down — envs/pointmaze_jax.py coordinates)."""
+    wall cell; with ``margin > 0`` the 4 margin-offset corners are probed
+    like the env's own collision check (PointMazeJax._is_wall).
+
+    Default margin 0 (center-cell only) is an EMPIRICAL choice: probing at
+    the agent radius is env-consistent but measured worse on Medium
+    (wall-aware bo8 0.58/0.52 vs 0.44/0.26 across two seed sets, n=50) —
+    grazing rows still benefit from the dynamics projection because the env
+    slides along walls rather than failing, so reverting them costs more
+    than the collision it avoids. Grid layout follows gymnasium-robotics
+    maze maps (origin at maze center, y up / row down)."""
+    from dadiff_tpu.envs.pointmaze_jax import xy_to_cell
+
+    if margin is None:
+        margin = 0.0
     Hm, Wm = wall_grid.shape
-    col = jnp.clip(
-        jnp.floor(positions[..., 0] + Wm / 2.0).astype(jnp.int32), 0, Wm - 1
-    )
-    row = jnp.clip(
-        jnp.floor(Hm / 2.0 - positions[..., 1]).astype(jnp.int32), 0, Hm - 1
-    )
-    return wall_grid[row, col] == 1
+    if margin == 0.0:
+        row, col = xy_to_cell(positions, Hm, Wm)
+        return wall_grid[row, col] == 1
+    hit = jnp.zeros(positions.shape[:-1], bool)
+    for dx in (-margin, margin):
+        for dy in (-margin, margin):
+            row, col = xy_to_cell(
+                positions + jnp.asarray([dx, dy], positions.dtype), Hm, Wm
+            )
+            hit = hit | (wall_grid[row, col] == 1)
+    return hit
 
 
 def apply_projection(
@@ -121,6 +137,7 @@ def apply_projection(
     action_dim: int,
     state_dim: int,
     wall_grid: Optional[jax.Array] = None,
+    wall_margin: Optional[float] = None,
 ) -> jax.Array:
     """Project a normalized interleaved trajectory onto the dynamics subspace.
 
@@ -163,7 +180,9 @@ def apply_projection(
 
     if wall_grid is not None:
         # revert rows the projection dragged into walls (state + action)
-        bad = wall_violation_mask(new_states[..., :2], wall_grid)  # (B, H)
+        bad = wall_violation_mask(
+            new_states[..., :2], wall_grid, margin=wall_margin
+        )  # (B, H)
         keep = ~bad
         new_states = jnp.where(keep[..., None], new_states, states_phys)
         new_actions = jnp.where(keep[..., None], new_actions, actions_phys)

@@ -383,3 +383,36 @@ def test_dynamics_aware_with_value_guidance_composite(
         observation_dim=OBS_DIM, action_dim=ACT_DIM, state_dim=4,
     ))
     assert viol < 0.5  # projection still applied under guidance
+
+
+def test_physical_space_scorer_beats_normalized_bias():
+    """make_goal_distance_scorer compares in physical space: with different
+    position/goal stat blocks the normalized-space scorer prefers the wrong
+    plan; the physical one picks the true closest."""
+    import jax.numpy as jnp
+    from dadiff_tpu.guides.policies import (
+        goal_distance_scorer,
+        make_goal_distance_scorer,
+    )
+
+    obs_dim, D = 6, 8
+    # positions normalized with mean 0 / std 1; goals with mean 2 / std 0.5
+    obs_mean = np.array([0, 0, 0, 0, 2, 2], np.float32)
+    obs_std = np.array([1, 1, 1, 1, 0.5, 0.5], np.float32)
+    phys_goal = np.array([2.0, 2.0])
+    normed_obs = jnp.asarray(
+        np.concatenate([np.zeros(4), (phys_goal - 2) / 0.5]), jnp.float32
+    )
+    # candidate A ends exactly at the physical goal; B ends at (1, 1)
+    trajs = np.zeros((2, 4, D), np.float32)
+    trajs[0, -1, 0:2] = phys_goal  # normalized == physical here (mean 0 std 1)
+    trajs[1, -1, 0:2] = [1.0, 1.0]
+    trajs = jnp.asarray(trajs)
+
+    phys_scores = make_goal_distance_scorer(obs_mean, obs_std)(trajs, normed_obs)
+    assert int(jnp.argmin(phys_scores)) == 0
+    assert float(phys_scores[0]) < 1e-5
+    # the normalized-space scorer gets this wrong (goal maps to (0,0) in
+    # goal-normalized coords, nearer B's endpoint than A's)
+    norm_scores = goal_distance_scorer(trajs, normed_obs)
+    assert int(jnp.argmin(norm_scores)) == 1

@@ -136,3 +136,26 @@ def test_dynamics_aware_policy_wall_aware_end_to_end():
     action = policy.get_action(np.zeros(OBS_DIM, np.float32))
     assert action.shape == (ACT_DIM,)
     assert np.isfinite(action).all()
+
+
+def test_wall_mask_respects_agent_radius():
+    """wall_violation_mask probes the agent-radius corners like the env's
+    collision check: a point within AGENT_RADIUS of a wall cell boundary is
+    a violation even though its center cell is free."""
+    import jax.numpy as jnp
+    from dadiff_tpu.envs.pointmaze_jax import AGENT_RADIUS, MAZE_MAPS
+    from dadiff_tpu.ops.projection import wall_violation_mask
+
+    grid = jnp.asarray(MAZE_MAPS["umaze"], jnp.int32)
+    # umaze row 2 = [1,1,1,0,1]: cell (2,3) free, (2,2) wall.
+    # cell (2,3) spans x in [0.5, 1.5], y in [-0.5, 0.5] (5x5 map)
+    center = jnp.asarray([[1.0, 0.0]])
+    near_wall = jnp.asarray([[0.5 + AGENT_RADIUS / 2, 0.0]])  # overlaps (2,2)
+    inside_wall = jnp.asarray([[0.0, 0.0]])
+    m = AGENT_RADIUS
+    assert not bool(wall_violation_mask(center, grid, margin=m)[0])
+    assert bool(wall_violation_mask(near_wall, grid, margin=m)[0])
+    assert bool(wall_violation_mask(inside_wall, grid, margin=m)[0])
+    # default (margin 0, the measured-best config): center-cell only
+    assert not bool(wall_violation_mask(near_wall, grid)[0])
+    assert bool(wall_violation_mask(inside_wall, grid)[0])
