@@ -94,7 +94,8 @@ def build_train_parser() -> argparse.ArgumentParser:
                    choices=["data-driven", "analytical", "numerical", "trajectory",
                             "none"])
     # EMA (reference train.py:77-81)
-    p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--use-ema", action=argparse.BooleanOptionalAction,
+                   default=True, help="EMA shadow params (--no-use-ema off)")
     p.add_argument("--ema-decay", type=float, default=0.995)
     # Logging (reference train.py:83-91)
     p.add_argument("--log-dir", type=str, default="./logs")
@@ -174,6 +175,7 @@ def train_main(argv=None) -> str:
         args.beta_schedule = inferred["beta_schedule"]
         args.horizon = inferred["horizon"]
         ckpt_params = diffusion_state_to_flax(checkpoint["model_state_dict"])
+        ckpt_config = checkpoint.get("config", {})
         print(f"checkpoint config inferred: dim={args.dim} mults={args.dim_mults} "
               f"T={args.n_timesteps} horizon={args.horizon}")
 
@@ -190,6 +192,11 @@ def train_main(argv=None) -> str:
     )
     print(f"dataset: {len(dataset)} windows, obs={dataset.observation_dim} "
           f"act={dataset.action_dim}")
+    if ckpt_params is not None:
+        # Fine-tuning: the pretrained weights expect the ORIGINAL dataset's
+        # scaling; stats re-derived from a different fine-tune dataset would
+        # silently shift it (the exact hazard the eval path guards against).
+        _apply_stored_normalizer(dataset, ckpt_config)
 
     # Model (reference train.py:174-235)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -354,6 +361,13 @@ def train_value_main(argv=None) -> str:
             # dense shaping r_t = -||pos_{t+1} - goal|| gives the value net a
             # gradient everywhere, where the recorded reward is sparse/terminal
             obs = np.asarray(ep["observations"], dtype=np.float64)
+            if obs.shape[-1] != 6:
+                raise SystemExit(
+                    "--reward goal-dense assumes the goal-concat maze "
+                    "observation layout [x y vx vy gx gy] (6 dims); got "
+                    f"{obs.shape[-1]} dims — use --reward recorded for "
+                    "this dataset"
+                )
             T = len(ep["actions"])
             nxt = obs[1:T + 1] if len(obs) > T else obs[:T]
             return -np.linalg.norm(nxt[:, 0:2] - nxt[:, 4:6], axis=-1)
@@ -409,8 +423,14 @@ def train_value_main(argv=None) -> str:
     return base
 
 
-def load_value_checkpoint(base: str):
-    """Returns (value_net, params) from a train_value_main checkpoint."""
+def load_value_checkpoint(base: str, expect_schedule=None):
+    """Returns (value_net, params) from a train_value_main checkpoint.
+
+    ``expect_schedule``: optional (n_timesteps, beta_schedule) of the
+    planner this value net will guide; mismatched noise schedules would
+    silently produce guidance gradients at noise levels the net never saw,
+    so a mismatch raises.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -428,6 +448,19 @@ def load_value_checkpoint(base: str):
         dim_mults=tuple(cfg["dim_mults"]),
     )
     template = {"params": vnet.init_params(jax.random.PRNGKey(0), cfg["horizon"])}
+    if expect_schedule is not None:
+        want_t, want_beta = expect_schedule
+        got_t = cfg.get("n_timesteps")
+        got_beta = cfg.get("beta_schedule")
+        if (got_t is not None and got_t != want_t) or (
+            got_beta is not None and got_beta != want_beta
+        ):
+            raise SystemExit(
+                f"value checkpoint was trained on schedule (T={got_t}, "
+                f"{got_beta}) but the planner uses (T={want_t}, "
+                f"{want_beta}); retrain the value net with matching "
+                f"--n-timesteps/--beta-schedule"
+            )
     state, _ = restore_native(base, template)
     return vnet, state["params"]
 
@@ -538,7 +571,7 @@ def _apply_stored_normalizer(dataset, config: dict) -> None:
         print("WARNING: checkpoint normalizer stats dims do not match the "
               "eval dataset; falling back to dataset-derived stats")
         return
-    dataset.normalizer = stored
+    dataset.set_normalizer(stored)
     print("using checkpoint-stored normalization stats")
 
 
@@ -554,7 +587,7 @@ ENV_TO_DATASET = {
 
 
 def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
-               use_ema: bool = False, sampling_timesteps=None):
+               use_ema: bool = False):
     """Load a checkpoint + dataset normalizer and rebuild the model
     (reference evaluate.py:125-203). Returns (diffusion, params, dataset).
 
@@ -738,7 +771,10 @@ def evaluate_main(argv=None) -> dict:
 
         if not args.value_checkpoint:
             raise SystemExit("value-guided requires --value-checkpoint")
-        vnet, vparams = load_value_checkpoint(args.value_checkpoint)
+        vnet, vparams = load_value_checkpoint(
+            args.value_checkpoint,
+            expect_schedule=(diffusion.n_timesteps, diffusion.beta_schedule),
+        )
         policy = ValueGuidedPolicy(
             diffusion, dataset.normalizer,
             trajectory_value_fn=make_value_guide_fn(vnet, vparams),
@@ -780,7 +816,12 @@ def evaluate_main(argv=None) -> dict:
         if args.value_checkpoint:
             from dadiff_tpu.models.value_net import make_value_guide_fn
 
-            vnet, vparams = load_value_checkpoint(args.value_checkpoint)
+            vnet, vparams = load_value_checkpoint(
+                args.value_checkpoint,
+                expect_schedule=(
+                    diffusion.n_timesteps, diffusion.beta_schedule
+                ),
+            )
             guide_fn = make_value_guide_fn(vnet, vparams)
             guide_weight = args.guide_weight
         policy = DynamicsAwarePolicy(
@@ -823,7 +864,7 @@ def evaluate_main(argv=None) -> dict:
             save_episodes_npz(args.save_episodes, recorded)
             print(f"saved {len(recorded)} executed episodes -> "
                   f"{args.save_episodes}")
-        env = make_env(args.env)  # for the close() below
+        env = None  # the batched evaluator manages its own envs
     else:
         env = make_env(args.env, render=args.render, video_dir=args.video_dir)
         env.reset(seed=args.seed)
@@ -864,7 +905,8 @@ def evaluate_main(argv=None) -> dict:
     print(f"Mean length: {metrics['mean_length']:.2f} "
           f"success rate: {metrics['success_rate']:.2f}")
     print(f"Results: {path}")
-    env.close()
+    if env is not None:
+        env.close()
     return metrics
 
 
@@ -894,7 +936,7 @@ def download_main(argv=None) -> None:
         return
 
     if args.info and args.info.startswith(
-        ("synthetic:", "gym:", "npz:", "expert:")
+        ("synthetic:", "gym:", "npz:", "expert:", "mppi:")
     ):
         from dadiff_tpu.datasets.sources import load_episodes
 
@@ -969,11 +1011,14 @@ def main(argv=None) -> None:
         "evaluate": evaluate_main,
         "download": download_main,
     }
-    if not argv or argv[0] in ("-h", "--help") or argv[0] not in commands:
-        raise SystemExit(
-            "usage: python -m dadiff_tpu.cli {train|train-values|eval|download} ...\n"
-            f"unknown command: {argv[0] if argv else '(none)'}"
-        )
+    usage = "usage: python -m dadiff_tpu.cli {train|train-values|eval|download} ..."
+    if argv and argv[0] in ("-h", "--help"):
+        print(usage)
+        return
+    if not argv:
+        raise SystemExit(usage)
+    if argv[0] not in commands:
+        raise SystemExit(f"{usage}\nunknown command: {argv[0]}")
     commands[argv[0]](argv[1:])
 
 

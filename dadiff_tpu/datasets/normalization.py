@@ -24,7 +24,20 @@ class AffineNormalizer:
 
     def __init__(self, mean: np.ndarray, std: np.ndarray):
         self.mean = np.asarray(mean, dtype=np.float32)
-        self.std = np.maximum(np.asarray(std, dtype=np.float32), _EPS)
+        std = np.asarray(std, dtype=np.float32)
+        # A constant feature (zero range/variance) would clamp to _EPS and
+        # blow any eval-time deviation up to ~1e8 normalized units; scale 1
+        # keeps the feature inert instead.
+        degenerate = std < 1e-7
+        if degenerate.any():
+            import warnings
+
+            warnings.warn(
+                f"{int(degenerate.sum())} constant feature(s) in normalizer "
+                "stats; using scale 1.0 for them", stacklevel=3,
+            )
+            std = np.where(degenerate, 1.0, std)
+        self.std = np.maximum(std, _EPS)
 
     def normalize(self, x: np.ndarray) -> np.ndarray:
         return (np.asarray(x, dtype=np.float32) - self.mean) / self.std

@@ -151,6 +151,16 @@ class SequenceDataset:
         # Normalize the arena once; windows come out pre-normalized.
         self._arena = self.normalizer.normalize_trajectory(self._arena)
 
+    def set_normalizer(self, normalizer) -> None:
+        """Swap in different normalization stats (e.g. the stats persisted
+        in a checkpoint), renormalizing the packed arena so windows stay
+        consistent with the new normalizer — required for fine-tuning on a
+        different dataset without silently shifting the scaling the
+        pretrained weights expect."""
+        phys = self.normalizer.unnormalize_trajectory(self._arena)
+        self.normalizer = normalizer
+        self._arena = normalizer.normalize_trajectory(phys)
+
     def __len__(self) -> int:
         return len(self._starts)
 

@@ -296,4 +296,5 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
             n_episodes=int(opts.get("n", kwargs.pop("n_episodes", 50))),
             **kwargs,
         )
+    kwargs.setdefault("max_episodes", kwargs.pop("n_episodes", None))
     return load_minari_episodes(spec, **kwargs)

@@ -178,6 +178,8 @@ def test_module_dispatcher_routes_and_rejects():
         main(["frobnicate"])
     with pytest.raises(SystemExit, match="usage"):
         main([])
+    # top-level --help prints usage and exits cleanly (no SystemExit)
+    assert main(["--help"]) is None
     # A real command parses its own argv (argparse exits 0 on --help).
     with pytest.raises(SystemExit) as ei:
         main(["download", "--help"])

@@ -147,3 +147,45 @@ def test_flatten_observation_dict_variants():
     np.testing.assert_array_equal(
         sources.flatten_observation(np.array([1.0, 2.0])), np.array([1, 2], np.float32)
     )
+
+
+def test_set_normalizer_renormalizes_arena():
+    """Swapping in stored stats keeps windows consistent: arena values under
+    the new normalizer unnormalize to the same physical data."""
+    from dadiff_tpu.datasets.normalization import DatasetNormalizer
+    from dadiff_tpu.datasets.sequence import SequenceDataset
+
+    ds = SequenceDataset(dataset_name="synthetic:pointmaze:n=4,T=40", horizon=8)
+    phys_before = ds.normalizer.unnormalize_trajectory(ds._arena).copy()
+    obs_dim, act_dim = ds.observation_dim, ds.action_dim
+    stored = DatasetNormalizer.from_arrays(
+        {
+            "obs_mean": np.full(obs_dim, 0.5, np.float32),
+            "obs_std": np.full(obs_dim, 2.0, np.float32),
+            "action_mean": np.zeros(act_dim, np.float32),
+            "action_std": np.full(act_dim, 3.0, np.float32),
+        }
+    )
+    ds.set_normalizer(stored)
+    phys_after = ds.normalizer.unnormalize_trajectory(ds._arena)
+    np.testing.assert_allclose(phys_after, phys_before, atol=1e-4)
+    # and the arena really is scaled by the new stats now
+    w = ds[0]["conditions"]
+    assert np.isfinite(w).all()
+
+
+def test_constant_feature_uses_unit_scale():
+    """A zero-range feature gets scale 1.0 (with a warning), not 1e-8 —
+    eval-time deviations in that feature would otherwise blow up ~1e8x."""
+    import warnings
+    from dadiff_tpu.datasets.normalization import LimitsNormalizer
+
+    data = np.random.RandomState(0).randn(100, 3).astype(np.float32)
+    data[:, 1] = 7.0  # constant column
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        norm = LimitsNormalizer(data)
+    assert any("constant feature" in str(x.message) for x in w)
+    assert norm.std[1] == 1.0
+    out = norm.normalize(np.array([[0.0, 7.1, 0.0]], np.float32))
+    assert abs(out[0, 1]) < 1.0  # small deviation stays small
