@@ -48,7 +48,8 @@ class DynamicsExtractor:
         import gymnasium as gym
 
         space = self.env.action_space
-        if not hasattr(space, "shape") or space.shape is None:
+        # Discrete spaces have shape () — not None — so check for both.
+        if not getattr(space, "shape", None):
             raise ValueError(f"Cannot determine action dimension for {self.env_name}")
         action_dim = space.shape[0]
 

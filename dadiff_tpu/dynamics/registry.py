@@ -76,7 +76,17 @@ def get_dynamics_for_env(
                 return identify_dynamics_from_data(dataset_name, state_dim=state_dim)
             except Exception as e:
                 print(f"data-driven sysID failed ({e}); falling back")
+        else:
+            print(
+                f"WARNING: no dataset resolves for {env_name}; data-driven "
+                "sysID unavailable"
+            )
         method = "analytical" if "maze" in env_name.lower() else "trajectory"
+        print(
+            f"WARNING: dynamics for {env_name} degrade to '{method}' "
+            "identification"
+            + (" (random-rollout fit)" if method == "trajectory" else "")
+        )
 
     extractor = get_dynamics_extractor(env_name, method=method)
     try:

@@ -114,6 +114,11 @@ def default_timesteps(n_timesteps: int, sampling_timesteps: Optional[int] = None
     `extract` like the reference would.
     """
     s = n_timesteps if sampling_timesteps is None else int(sampling_timesteps)
+    if s <= 0:
+        raise ValueError(
+            f"sampling_timesteps must be positive, got {s} (zero steps would "
+            "return the raw Gaussian init as the 'sample')"
+        )
     if s > n_timesteps:
         raise ValueError(
             f"sampling_timesteps ({s}) must be <= trained n_timesteps "

@@ -25,16 +25,21 @@ def check_finite_pytree(tree: Any, name: str = "pytree") -> List[str]:
     return bad
 
 
+def tree_all_finite(tree: Any) -> jax.Array:
+    """jit-side scalar bool: every leaf of ``tree`` is finite."""
+    finite = jnp.array(True)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(leaf)))
+    return finite
+
+
 def finite_or_skip(grads: Any) -> Tuple[Any, jax.Array]:
     """jit-side guard: returns (grads_or_zeros, all_finite_flag).
 
     Composable into the train step so a single bad batch skips the update
     instead of poisoning parameters — cheap elastic-recovery for long runs.
     """
-    leaves = jax.tree_util.tree_leaves(grads)
-    finite = jnp.array(True)
-    for leaf in leaves:
-        finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(leaf)))
+    finite = tree_all_finite(grads)
     safe = jax.tree_util.tree_map(
         lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
     )

@@ -120,17 +120,29 @@ def make_train_step(
             state.params
         )
         metrics = dict(metrics)
-        if skip_nonfinite:
-            from dadiff_tpu.utils.debug import finite_or_skip
-
-            grads, finite = finite_or_skip(grads)
-            metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if skip_nonfinite:
+            # Discard the ENTIRE update on a non-finite batch: params AND
+            # optimizer state. Merely zeroing the gradients would still let
+            # Adam step along stale momentum (and advance its bias
+            # correction) — parameter drift with no fresh gradient signal.
+            from dadiff_tpu.utils.debug import tree_all_finite
+
+            finite = tree_all_finite(grads)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old),
+                params, state.params,
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old)
+                if getattr(new, "ndim", None) is not None else new,
+                opt_state, state.opt_state,
+            )
+            metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
         ema_params = state.ema_params
         if use_ema and ema_params is not None:
             ema_params = ema_update(ema_params, params, ema_decay)
-        metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state,
@@ -207,6 +219,12 @@ class Trainer:
             self._rng, init_key = jax.random.split(self._rng)
             params = diffusion.init_params(init_key)
 
+        if not hasattr(train_loader, "__len__"):
+            raise TypeError(
+                "train_loader must be a sized, re-iterable loader (e.g. "
+                "datasets.create_dataloader) — a one-shot generator would "
+                "silently yield zero-step epochs after the first"
+            )
         total_steps = total_steps or (len(train_loader) * 100)
         self.lr_schedule = warmup_cosine_schedule(lr, warmup_steps, total_steps)
         self.optimizer = make_optimizer(self.lr_schedule, gradient_clip)
@@ -278,7 +296,9 @@ class Trainer:
                 n_steps += 1
                 self.global_step = self.global_step + 1
 
-                if n_steps % self.log_freq == 0 or n_steps == 1:
+                if n_steps == 1 or (
+                    self.log_freq and n_steps % self.log_freq == 0
+                ):
                     host = {k: float(v) for k, v in metrics.items()}
                     for k, v in host.items():
                         epoch_metrics.setdefault(k, []).append(v)
@@ -421,6 +441,10 @@ class Trainer:
             state = state.replace(
                 opt_state=self.optimizer.init(state.params), step=jnp.asarray(0)
             )
+        if self.mesh is not None:
+            from dadiff_tpu.parallel.mesh import replicated_sharding
+
+            state = jax.device_put(state, replicated_sharding(self.mesh))
         self.state = state
         self.global_step = int(self.state.step)
         return int(meta.get("epoch", 0))

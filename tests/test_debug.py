@@ -64,6 +64,20 @@ def test_skip_nonfinite_train_step():
     new_state, metrics = step(state, good_batch, jax.random.PRNGKey(1))
     assert float(metrics["nonfinite"]) == 0.0
 
+    # The critical case: a bad batch AFTER momentum has accumulated. Zeroing
+    # gradients alone would still step along stale Adam momentum; the whole
+    # update (params AND optimizer state) must be discarded.
+    warm_state, _ = step(state, good_batch, jax.random.PRNGKey(2))
+    skipped_state, metrics = step(warm_state, bad_batch, jax.random.PRNGKey(3))
+    assert float(metrics["nonfinite"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(warm_state.params),
+                    jax.tree_util.tree_leaves(skipped_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(warm_state.opt_state),
+                    jax.tree_util.tree_leaves(skipped_state.opt_state)):
+        if hasattr(a, "shape"):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_trainer_auto_resume(tmp_path):
     unet = TemporalUnet(transition_dim=8, dim=8, dim_mults=(1, 2))
