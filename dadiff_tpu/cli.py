@@ -55,7 +55,11 @@ def _mesh(n_dp: int):
 # ===========================================================================
 
 def build_train_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="Train/Fine-tune a diffusion planner")
+    # allow_abbrev off: abbreviated flags would dodge the explicit-CLI scan
+    # in utils/config.apply_config_defaults and lose to config values
+    p = argparse.ArgumentParser(
+        description="Train/Fine-tune a diffusion planner", allow_abbrev=False
+    )
     p.add_argument("--config", type=str, default=None,
                    help="YAML/JSON experiment config (CLI flags override)")
     # Dataset (reference train.py:26-31)
@@ -73,6 +77,11 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--beta-schedule", type=str, default="cosine",
                    choices=["linear", "cosine"])
     p.add_argument("--loss-type", type=str, default="l2", choices=["l1", "l2"])
+    p.add_argument("--predict-epsilon", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="model predicts noise (default) vs x0 directly")
+    p.add_argument("--clip-denoised", action=argparse.BooleanOptionalAction,
+                   default=True)
     # Training (reference train.py:44-53)
     p.add_argument("--n-epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=128)
@@ -215,6 +224,8 @@ def train_main(argv=None) -> str:
         n_timesteps=args.n_timesteps,
         beta_schedule=args.beta_schedule,
         loss_type=args.loss_type,
+        predict_epsilon=args.predict_epsilon,
+        clip_denoised=args.clip_denoised,
     )
 
     # Loss composition (reference train.py:237-311, sans its NameError bug)
@@ -470,7 +481,9 @@ def load_value_checkpoint(base: str, expect_schedule=None):
 # ===========================================================================
 
 def build_eval_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="Evaluate a diffusion planner")
+    p = argparse.ArgumentParser(
+        description="Evaluate a diffusion planner", allow_abbrev=False
+    )
     p.add_argument("--checkpoint", type=str, required=True)
     p.add_argument("--env", type=str, default="PointMaze_UMaze-v3")
     p.add_argument("--n-episodes", type=int, default=10)
@@ -611,6 +624,11 @@ def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
 
     checkpoint = load_pt_checkpoint(checkpoint_path)
     cfg = infer_model_config_from_checkpoint(checkpoint)
+    # Booleans are not inferable from weight shapes; take them from the
+    # stored config sidecar when present.
+    for key in ("predict_epsilon", "clip_denoised"):
+        if key in checkpoint.get("config", {}):
+            cfg[key] = checkpoint["config"][key]
     horizon = horizon_hint or cfg["horizon"]
 
     dataset = SequenceDataset(
@@ -633,6 +651,8 @@ def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
         action_dim=dataset.action_dim,
         n_timesteps=cfg["n_timesteps"],
         beta_schedule=cfg["beta_schedule"],
+        predict_epsilon=bool(cfg.get("predict_epsilon", True)),
+        clip_denoised=bool(cfg.get("clip_denoised", True)),
     )
     state_key = "ema_state_dict" if (use_ema and checkpoint.get("ema_state_dict")) \
         else "model_state_dict"
@@ -681,6 +701,8 @@ def _load_model_native(base: str, dataset_spec: str, horizon_hint=None,
         action_dim=dataset.action_dim,
         n_timesteps=cfg["n_timesteps"],
         beta_schedule=cfg["beta_schedule"],
+        predict_epsilon=bool(cfg.get("predict_epsilon", True)),
+        clip_denoised=bool(cfg.get("clip_denoised", True)),
     )
     import jax.numpy as jnp
 

@@ -44,7 +44,11 @@ def evaluate_policy(
     max_steps: int = 1000,
     verbose: bool = True,
 ) -> Dict[str, Any]:
-    """Run seeded evaluation episodes (reference evaluate.py:206-269)."""
+    """Run evaluation episodes (reference evaluate.py:206-269).
+
+    NOTE: seeding is the CALLER's job — seed the env's RNG stream once with
+    ``env.reset(seed=...)`` before calling (the CLI does; reference
+    evaluate.py:420). This function's resets continue that stream."""
     episode_rewards, episode_lengths, episode_success = [], [], []
 
     for episode in range(n_episodes):

@@ -46,6 +46,32 @@ _REWARD_MODELS: Dict[str, Callable] = {
 }
 
 
+def _hopper_done(obs):
+    # gymnasium Hopper-v5 is_healthy incl. healthy_state_range
+    return not (
+        obs[0] > 0.7 and abs(obs[1]) < 0.2 and bool(np.all(np.abs(obs[2:]) < 100))
+    )
+
+
+def _walker_done(obs):
+    return not (0.8 < obs[0] < 2.0 and abs(obs[1]) < 1.0)
+
+
+_DONE_MODELS: Dict[str, Callable] = {
+    "halfcheetah": lambda obs: False,  # HalfCheetah never terminates
+    "hopper": _hopper_done,
+    "walker": _walker_done,
+}
+
+
+def _done_model_for(env_name: str) -> Callable:
+    name = env_name.lower()
+    for key, fn in _DONE_MODELS.items():
+        if key in name:
+            return fn
+    raise ValueError(f"No MPPI termination model for {env_name}")
+
+
 def _reward_model_for(env_name: str) -> Callable:
     name = env_name.lower()
     for key, fn in _REWARD_MODELS.items():
@@ -87,7 +113,13 @@ class MPPIController:
         self.n_samples = n_samples
         self.lam = lam
         self.sigma = sigma
-        self.reward_fn = _reward_model_for(env.spec.id if env.spec else "halfcheetah")
+        if env.spec is None:
+            raise ValueError(
+                "MPPIController needs env.spec.id to pick its reward/"
+                "termination model; pass an env created via gym.make"
+            )
+        self.reward_fn = _reward_model_for(env.spec.id)
+        self.done_fn = _done_model_for(env.spec.id)
         self._rng = np.random.RandomState(seed)
         self.mean = np.zeros((horizon, self.act_dim))
 
@@ -121,6 +153,12 @@ class MPPIController:
                     [self.scratch.qpos[1:], self.scratch.qvel]
                 )
                 total += self.reward_fn(x_before, x_after, self.dt, a, obs)
+                if self.done_fn(obs):
+                    # terminate the rollout like the real env would — a
+                    # candidate that dives forward and falls must not keep
+                    # banking velocity reward for the rest of the horizon
+                    # (the TPU engine already masks this way, mppi_tpu.py)
+                    break
             returns[k] = total
 
         w = np.exp((returns - returns.max()) / self.lam)

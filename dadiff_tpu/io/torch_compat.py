@@ -287,8 +287,10 @@ def save_pt_checkpoint(
             "n_timesteps": config["n_timesteps"],
             "beta_schedule": config["beta_schedule"],
             # extra keys beyond the reference schema (ignored by the
-            # reference loader): normalization stats for exact eval reuse
-            **{k: config[k] for k in ("normalizer_name", "normalizer_stats")
+            # reference loader): normalization stats for exact eval reuse +
+            # diffusion booleans not inferable from weight shapes
+            **{k: config[k] for k in ("normalizer_name", "normalizer_stats",
+                                      "predict_epsilon", "clip_denoised")
                if k in config},
         },
     }

@@ -72,6 +72,8 @@ class ProjectionLoss(BaseLoss):
         self.state_dim = state_dim
         self.action_dim = action_dim
         self.observation_dim = observation_dim
+        # kept for reference API parity (losses/__init__.py:61-77 takes and
+        # stores horizon); the residual derives shapes from the arrays
         self.horizon = horizon
 
     def compute(self, params, batch, rng):

@@ -63,14 +63,20 @@ def _res_block(p: Dict, x, t_emb, use_pallas: bool):
 
 
 def unet_apply_fused(
-    unet: TemporalUnet, params: Dict, x: jax.Array, t: jax.Array = None,
-    use_pallas: bool = True, t_emb: jax.Array = None,
+    unet: TemporalUnet, params: Dict, x: jax.Array, t=None,
+    use_pallas=None, t_emb=None,
 ) -> jax.Array:
     """Fused-forward equivalent of ``unet.apply({'params': params}, x, t)``.
 
     ``t_emb`` may be precomputed (e.g. once for all timesteps outside a
-    sampling scan) to skip the in-step time MLP.
+    sampling scan) to skip the in-step time MLP. ``use_pallas=None``
+    auto-selects: Pallas kernels on TPU, XLA reference elsewhere (explicit
+    True off-TPU would fail to lower).
     """
+    if t is None and t_emb is None:
+        raise ValueError("unet_apply_fused needs t (timesteps) or t_emb")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     if t_emb is None:
         t_emb = _time_embedding(params, t, unet.dim)
 

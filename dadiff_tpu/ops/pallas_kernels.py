@@ -74,6 +74,9 @@ def _gn_mish_kernel(x_ref, scale_ref, bias_ref, m_ref, out_ref, *, n_groups, eps
     rstd_c = jnp.dot(rstd_g, m.T, preferred_element_type=jnp.float32)  # (1, C)
 
     xn = (x - mean_c) * rstd_c
+    # scale/bias arrive as (1, C) rows; the in-kernel broadcast is free,
+    # while (H, C) operands would double this memory-bound kernel's input
+    # traffic (H copies of the same row through HBM->VMEM per grid step)
     y = xn * scale_ref[...] + bias_ref[...]
     out_ref[...] = y * jnp.tanh(jax.nn.softplus(y))
 
@@ -97,8 +100,8 @@ def group_norm_mish_pallas(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((None, H, C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((H, C), lambda b: (0, 0)),
-            pl.BlockSpec((H, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
             pl.BlockSpec((C, n_groups), lambda b: (0, 0)),
         ],
         out_specs=pl.BlockSpec((None, H, C), lambda b: (b, 0, 0)),
@@ -106,8 +109,8 @@ def group_norm_mish_pallas(
         interpret=interpret,
     )(
         x.astype(jnp.float32),
-        jnp.broadcast_to(scale.astype(jnp.float32), (H, C)),
-        jnp.broadcast_to(bias.astype(jnp.float32), (H, C)),
+        scale.astype(jnp.float32).reshape(1, C),
+        bias.astype(jnp.float32).reshape(1, C),
         m,
     )
 

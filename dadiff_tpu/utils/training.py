@@ -359,6 +359,8 @@ class Trainer:
             "beta_schedule": d.beta_schedule,
             "dim": d.model.dim,
             "dim_mults": list(d.model.dim_mults),
+            "predict_epsilon": d.predict_epsilon,
+            "clip_denoised": d.clip_denoised,
         }
         # Persist normalization stats so eval rebuilds the exact training
         # normalizer instead of re-deriving it from whatever --dataset is

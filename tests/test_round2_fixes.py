@@ -51,16 +51,41 @@ def _tiny_diffusion():
     )
 
 
+def _dummy_normalizer(d):
+    from dadiff_tpu.datasets.normalization import DatasetNormalizer
+
+    return DatasetNormalizer.from_arrays(
+        {
+            "obs_mean": np.zeros(d.observation_dim, np.float32),
+            "obs_std": np.ones(d.observation_dim, np.float32),
+            "action_mean": np.zeros(d.action_dim, np.float32),
+            "action_std": np.ones(d.action_dim, np.float32),
+        }
+    )
+
+
 def test_dynamics_aware_raises_without_projection():
     d = _tiny_diffusion()
     with pytest.raises(ValueError, match="projection_matrix"):
-        DynamicsAwarePolicy(d, projection_matrix=None, normalizer=None)
+        DynamicsAwarePolicy(
+            d, projection_matrix=None, normalizer=_dummy_normalizer(d)
+        )
+
+
+def test_dynamics_aware_requires_normalizer_even_in_parity_mode():
+    """A missing normalizer used to construct fine under parity_mode and
+    crash on first get_action (GuidedPolicy.plan normalizes)."""
+    d = _tiny_diffusion()
+    with pytest.raises(ValueError, match="normalizer"):
+        DynamicsAwarePolicy(d, projection_matrix=None, normalizer=None,
+                            parity_mode=True)
 
 
 def test_dynamics_aware_parity_mode_allows_missing_projection():
     d = _tiny_diffusion()
     policy = DynamicsAwarePolicy(
-        d, projection_matrix=None, normalizer=None, parity_mode=True
+        d, projection_matrix=None, normalizer=_dummy_normalizer(d),
+        parity_mode=True,
     )
     assert policy._P is None
 
