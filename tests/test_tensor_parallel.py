@@ -173,3 +173,36 @@ def test_tp_train_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(tp_leaf), np.asarray(ref_leaf), atol=1e-4
     )
+
+
+def test_batched_planner_composes_with_tp():
+    """Serving composition: batch sharded over 'dp' AND the U-Net sharded
+    over 'tp' in one program — the planner's plans match the unsharded
+    single-device plans."""
+    from dadiff_tpu.guides.sampling import conditions_for_initial_obs, make_sampler
+    from dadiff_tpu.parallel.planner import make_batched_planner
+
+    ref_unet = _unet()
+    ref_diff = GaussianDiffusion(
+        model=ref_unet, horizon=16, observation_dim=6, action_dim=2,
+        n_timesteps=10,
+    )
+    params = ref_diff.init_params(jax.random.PRNGKey(0))
+    obs = jnp.tile(jnp.linspace(-1, 1, 6)[None], (8, 1))
+    cond = conditions_for_initial_obs(obs, 6, 16, 8)
+    key = jax.random.PRNGKey(7)
+    ref = make_sampler(ref_diff, jit=False)(params, key, cond)
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    tp_unet = _unet(act_spec=("dp", None, "tp"))
+    tp_diff = GaussianDiffusion(
+        model=tp_unet, horizon=16, observation_dim=6, action_dim=2,
+        n_timesteps=10,
+    )
+    tp_params = shard_params_tp(params, mesh, tp_axis="tp")
+    with jax.set_mesh(mesh):
+        planner = make_batched_planner(tp_diff, mesh, batch_axis="dp")
+        out = planner(tp_params, key, cond)
+        out.block_until_ready()
+    assert "dp" in (out.sharding.spec or ())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
