@@ -76,9 +76,9 @@ def make_ondevice_evaluator(
 
     batch_shard = None
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+        from dadiff_tpu.parallel.mesh import batch_sharding
 
-        batch_shard = NamedSharding(mesh, PartitionSpec(batch_axis))
+        batch_shard = batch_sharding(mesh, batch_axis)
 
     def evaluate(params, rng, stats: NormStats, batch_size: int, P=None):
         rng, reset_key = jax.random.split(rng)
@@ -99,15 +99,11 @@ def make_ondevice_evaluator(
                 cond = conditions_for_initial_obs(tiled, obs_dim, horizon, trans_dim)
                 trajs = plan(params, key, cond, P, stats)  # (B*N, H, D)
                 trajs = trajs.reshape(batch_size, n_candidates, horizon, trans_dim)
-                # score: final predicted position vs goal, compared in
-                # PHYSICAL space — position dims and goal dims carry
-                # different normalizer stat blocks, so normalized-space
-                # distance is not monotone in physical distance
-                g0, g1 = obs_dim - 2, obs_dim
-                goal = (
-                    normed_obs[:, g0:g1] * stats.obs_std[g0:g1]
-                    + stats.obs_mean[g0:g1]
-                )  # (B, 2)
+                # score: final predicted position vs goal in PHYSICAL space
+                # (normalized-space distance is not monotone in physical
+                # distance when stat blocks differ); the env carry holds
+                # the physical goal exactly
+                goal = state.goal  # (B, 2) physical
                 final_pos = (
                     trajs[:, :, -1, 0:2] * stats.obs_std[0:2]
                     + stats.obs_mean[0:2]

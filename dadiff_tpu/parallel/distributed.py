@@ -15,11 +15,17 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: Optional[bool] = None,
 ) -> bool:
     """Initialize jax.distributed from args or the standard env vars
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
-    TPU metadata autodetection inside jax). Returns True if a multi-process
-    runtime was initialized."""
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+
+    On a Cloud TPU pod slice none of those env vars is set — jax
+    autodetects peers from the TPU metadata server when ``initialize()``
+    is called with no arguments. That path must be requested explicitly
+    (``auto=True`` or env ``DADIFF_DIST_AUTO=1``) because calling it on a
+    plain single host raises. Returns True if a multi-process runtime was
+    initialized."""
     import jax
 
     coordinator_address = coordinator_address or os.environ.get(
@@ -27,8 +33,13 @@ def initialize_distributed(
     )
     num_processes = num_processes or _int_env("JAX_NUM_PROCESSES")
     process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
+    if auto is None:
+        auto = os.environ.get("DADIFF_DIST_AUTO", "0") == "1"
 
     if coordinator_address is None and num_processes is None:
+        if auto:
+            jax.distributed.initialize()  # TPU-pod metadata autodetection
+            return jax.process_count() > 1
         return False  # single host
 
     jax.distributed.initialize(

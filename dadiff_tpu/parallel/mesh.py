@@ -24,17 +24,31 @@ def make_mesh(
         axes: {axis_name: size}; defaults to {'dp': n_devices}. Sizes must
             multiply to the device count (-1 allowed once as wildcard).
     """
+    explicit_devices = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if axes is None:
         axes = {"dp": n}
     names = list(axes.keys())
     sizes = list(axes.values())
+    if sizes.count(-1) > 1:
+        raise ValueError("at most one -1 wildcard axis size is allowed")
     if -1 in sizes:
         known = int(np.prod([s for s in sizes if s != -1]))
         sizes[sizes.index(-1)] = n // known
     if int(np.prod(sizes)) != n:
         raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
+    if not explicit_devices:
+        # topology-aware assignment so collectives ride contiguous ICI
+        # rings (naive enumeration order can place an axis across
+        # non-adjacent chips/hosts)
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(tuple(sizes))
+            return Mesh(dev_array, tuple(names))
+        except Exception:
+            pass  # non-TPU backends: enumeration order is fine
     dev_array = np.asarray(devices).reshape(sizes)
     return Mesh(dev_array, tuple(names))
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dadiff_tpu.guides.sampling import Conditions, ProjectionSpec, make_sampler
+from dadiff_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from dadiff_tpu.models.diffusion import GaussianDiffusion
 
 
@@ -41,10 +42,10 @@ def make_batched_planner(
         jit=False,
     )
     cond_sharding = (
-        NamedSharding(mesh, P(batch_axis)),  # values (B, H, D)
-        NamedSharding(mesh, P()),  # mask (H,)
+        batch_sharding(mesh, batch_axis),  # values (B, H, D)
+        replicated_sharding(mesh),  # mask (H,)
     )
-    out_sharding = NamedSharding(mesh, P(batch_axis))
+    out_sharding = batch_sharding(mesh, batch_axis)
     jitted = jax.jit(plan, out_shardings=out_sharding)
 
     def planner(params, rng, conditions: Conditions, P_matrix=None, stats=None):

@@ -24,10 +24,15 @@ def to_jnp(x: Any, dtype=jnp.float32, sharding=None) -> jax.Array:
         dtype: target dtype (defaults to float32, matching the reference).
         sharding: optional ``jax.sharding.Sharding`` for multi-device placement.
     """
-    arr = jnp.asarray(x, dtype=dtype)
     if sharding is not None:
-        arr = jax.device_put(arr, sharding)
-    return arr
+        # device_put straight from host memory: uploading each shard to its
+        # own device. jnp.asarray first would commit the FULL array to the
+        # default device before resharding (redundant transfer, and OOM for
+        # batches larger than one device's memory).
+        if isinstance(x, jax.Array):
+            return jax.device_put(x.astype(dtype) if dtype else x, sharding)
+        return jax.device_put(np.asarray(x, dtype=dtype), sharding)
+    return jnp.asarray(x, dtype=dtype)
 
 
 def to_np(x: Array) -> np.ndarray:

@@ -40,11 +40,16 @@ def annotate(name: str):
 class StepTimer:
     """Wall-clock step timing with warmup discard.
 
+    JAX dispatch is asynchronous: the ``step`` context only measures what
+    the enclosed code blocks on, so either block inside it or use
+    :meth:`timed_call`, which blocks on the callable's outputs for you.
+
     Usage:
         timer = StepTimer(warmup=2)
         for batch in loader:
-            with timer.step(n_samples=batch_size):
-                state, _ = train_step(state, batch, key)
+            state, metrics = timer.timed_call(
+                train_step, state, batch, key, n_samples=batch_size
+            )
         print(timer.summary())
     """
 
@@ -55,10 +60,25 @@ class StepTimer:
 
     @contextlib.contextmanager
     def step(self, n_samples: int = 1):
+        """Raw context timer — the caller must block (e.g.
+        ``jax.block_until_ready(out)``) inside the block, or the time
+        recorded is dispatch latency, not device step time."""
         t0 = time.perf_counter()
         yield
         self._times.append(time.perf_counter() - t0)
         self._samples.append(n_samples)
+
+    def timed_call(self, fn, *args, n_samples: int = 1, **kwargs):
+        """Call ``fn`` and time until its outputs are READY (blocks on the
+        returned pytree — correct under async dispatch)."""
+        import jax
+
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        self._times.append(time.perf_counter() - t0)
+        self._samples.append(n_samples)
+        return out
 
     @property
     def times(self) -> List[float]:
@@ -79,14 +99,16 @@ class StepTimer:
         }
 
 
-def device_memory_stats() -> Optional[Dict[str, int]]:
-    """Per-device memory stats when the backend exposes them."""
+def device_memory_stats() -> Optional[Dict[str, Dict[str, int]]]:
+    """Memory stats for EVERY device (an unbalanced shard can OOM a device
+    this function would miss if it only looked at device 0)."""
     import jax
 
-    dev = jax.devices()[0]
-    if hasattr(dev, "memory_stats"):
-        try:
-            return dev.memory_stats()
-        except Exception:
-            return None
-    return None
+    out = {}
+    for dev in jax.devices():
+        if hasattr(dev, "memory_stats"):
+            try:
+                out[str(dev)] = dev.memory_stats()
+            except Exception:
+                continue
+    return out or None
