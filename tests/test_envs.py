@@ -68,11 +68,11 @@ def test_walls_block_motion(env):
     assert not bool(env._is_wall(state.pos).any())  # start is free
     for _ in range(120):
         state, obs, r, d = env.step(state, jnp.array([[1.0, 0.0]]))
-    # stopped at the border wall, never inside it
-    assert not bool(env._is_wall(state.pos).any())
-    assert float(state.pos[0, 0]) < 1.5
+    # stopped at the border wall: center rests at face - radius + slack
+    # (disc contact allows MuJoCo-like slack penetration, never more)
+    assert float(state.pos[0, 0]) <= 1.5 - 0.1 + env.wall_slack + 1e-6
     assert float(state.pos[0, 0]) > 1.2  # actually travelled to the wall
-    assert float(state.vel[0, 0]) == 0.0  # x-velocity killed on impact
+    assert abs(float(state.vel[0, 0])) < 1e-6  # normal velocity removed
 
 
 def test_sparse_and_dense_reward():
@@ -84,6 +84,54 @@ def test_sparse_and_dense_reward():
     _, _, r_d, _ = env_d.step(at_goal, jnp.zeros((1, 2)))
     assert float(r_s[0]) == 1.0
     assert 0.9 < float(r_d[0]) <= 1.0
+
+
+def test_disc_contact_slides_along_wall(env):
+    # Press diagonally up-right against the U-maze top border (y face 1.5):
+    # the y motion stops at the wall but x motion continues (tangential
+    # velocity preserved — MuJoCo sphere/box sliding, unlike the old
+    # axis-freeze which killed the pressed axis and often both).
+    state = PointMazeState(
+        pos=jnp.array([[-1.0, 1.38]]),
+        vel=jnp.array([[0.0, 0.0]]),
+        goal=jnp.array([[1.0, -1.0]]),
+        t=jnp.zeros((1,), jnp.int32),
+        done=jnp.zeros((1,), bool),
+    )
+    for _ in range(60):
+        state, *_ = env.step(state, jnp.array([[1.0, 1.0]]))
+    # slid right a substantial distance while pinned at the top wall
+    assert float(state.pos[0, 0]) > -0.2
+    assert float(state.pos[0, 1]) <= 1.5 - 0.1 + env.wall_slack + 1e-6
+    assert float(state.vel[0, 0]) > 1.0  # tangential speed retained
+    assert abs(float(state.vel[0, 1])) < 1e-5  # normal speed removed
+
+
+def test_disc_contact_penetration_bounded(env):
+    # Ram every free-space direction into walls for many steps; the disc
+    # never sinks deeper than radius - slack into any wall box.
+    rng = jax.random.PRNGKey(7)
+    state, _ = env.reset(rng, batch_size=32)
+    occ = np.asarray(env.maze)
+    H, W = occ.shape
+    for i in range(200):
+        a = jax.random.uniform(
+            jax.random.fold_in(rng, i), (32, 2), minval=-1.0, maxval=1.0
+        )
+        state, *_ = env.step(state, a)
+    pos = np.asarray(state.pos)
+    reach = 0.1 - env.wall_slack
+    # distance from each agent to the nearest wall box must be >= reach
+    for p in pos:
+        best = np.inf
+        for r in range(H):
+            for c in range(W):
+                if occ[r, c] != 1:
+                    continue
+                lo = np.array([c - W / 2.0, H / 2.0 - (r + 1)])
+                q = np.clip(p, lo, lo + 1.0)
+                best = min(best, float(np.linalg.norm(p - q)))
+        assert best >= reach - 1e-5, (p, best)
 
 
 def test_env_jit_and_vmap_compose(env):
