@@ -25,6 +25,7 @@ __version__ = "0.1.0"
 
 _EXPORTS = {
     "TemporalUnet": "dadiff_tpu.models.temporal_unet",
+    "TemporalTransformer": "dadiff_tpu.models.temporal_transformer",
     "GaussianDiffusion": "dadiff_tpu.models.diffusion",
     "SequenceDataset": "dadiff_tpu.datasets.sequence",
     "create_dataloader": "dadiff_tpu.datasets.sequence",

@@ -69,10 +69,19 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--normalizer", type=str, default="LimitsNormalizer",
                    choices=["LimitsNormalizer", "GaussianNormalizer"])
     p.add_argument("--max-path-length", type=int, default=1000)
-    # Model (reference train.py:33-42)
+    # Model (reference train.py:33-42; --model-type is a framework addition:
+    # the reference has only the conv U-Net)
+    p.add_argument("--model-type", type=str, default="unet",
+                   choices=["unet", "transformer"],
+                   help="denoiser family: conv U-Net (reference parity) or "
+                        "DiT-style temporal transformer")
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--dim-mults", type=int, nargs="+", default=[1, 2, 4])
     p.add_argument("--kernel-size", type=int, default=5)
+    p.add_argument("--depth", type=int, default=4,
+                   help="transformer blocks (model-type=transformer)")
+    p.add_argument("--n-heads", type=int, default=4,
+                   help="attention heads (model-type=transformer)")
     p.add_argument("--n-timesteps", type=int, default=200)
     p.add_argument("--beta-schedule", type=str, default="cosine",
                    choices=["linear", "cosine"])
@@ -207,17 +216,28 @@ def train_main(argv=None) -> str:
         # silently shift it (the exact hazard the eval path guards against).
         _apply_stored_normalizer(dataset, ckpt_config)
 
-    # Model (reference train.py:174-235)
+    # Model (reference train.py:174-235; transformer family is new surface)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    unet = TemporalUnet(
-        transition_dim=dataset.transition_dim,
-        dim=args.dim,
-        dim_mults=tuple(args.dim_mults),
-        kernel_size=args.kernel_size,
-        dtype=dtype,
-    )
+    if getattr(args, "model_type", "unet") == "transformer":
+        from dadiff_tpu.models.temporal_transformer import TemporalTransformer
+
+        denoiser = TemporalTransformer(
+            transition_dim=dataset.transition_dim,
+            dim=args.dim,
+            depth=args.depth,
+            n_heads=args.n_heads,
+            dtype=dtype,
+        )
+    else:
+        denoiser = TemporalUnet(
+            transition_dim=dataset.transition_dim,
+            dim=args.dim,
+            dim_mults=tuple(args.dim_mults),
+            kernel_size=args.kernel_size,
+            dtype=dtype,
+        )
     diffusion = GaussianDiffusion(
-        model=unet,
+        model=denoiser,
         horizon=args.horizon,
         observation_dim=dataset.observation_dim,
         action_dim=dataset.action_dim,
@@ -689,13 +709,24 @@ def _load_model_native(base: str, dataset_spec: str, horizon_hint=None,
         use_padding=True,
     )
     _apply_stored_normalizer(dataset, cfg)
-    unet = TemporalUnet(
-        transition_dim=dataset.transition_dim,
-        dim=cfg["dim"],
-        dim_mults=tuple(cfg["dim_mults"]),
-    )
+    if cfg.get("model_type") == "transformer":
+        from dadiff_tpu.models.temporal_transformer import TemporalTransformer
+
+        denoiser = TemporalTransformer(
+            transition_dim=dataset.transition_dim,
+            dim=cfg["dim"],
+            depth=int(cfg.get("depth", 4)),
+            n_heads=int(cfg.get("n_heads", 4)),
+            mlp_ratio=int(cfg.get("mlp_ratio", 4)),
+        )
+    else:
+        denoiser = TemporalUnet(
+            transition_dim=dataset.transition_dim,
+            dim=cfg["dim"],
+            dim_mults=tuple(cfg["dim_mults"]),
+        )
     diffusion = GaussianDiffusion(
-        model=unet,
+        model=denoiser,
         horizon=horizon,
         observation_dim=dataset.observation_dim,
         action_dim=dataset.action_dim,

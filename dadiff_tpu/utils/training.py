@@ -362,6 +362,17 @@ class Trainer:
             "predict_epsilon": d.predict_epsilon,
             "clip_denoised": d.clip_denoised,
         }
+        # Second model family (TemporalTransformer): record the type and its
+        # own hyperparameters so load_model rebuilds the right architecture.
+        model_type = type(d.model).__name__
+        if model_type != "TemporalUnet":
+            cfg["model_type"] = (
+                "transformer" if model_type == "TemporalTransformer"
+                else model_type
+            )
+            for key in ("depth", "n_heads", "mlp_ratio"):
+                if hasattr(d.model, key):
+                    cfg[key] = int(getattr(d.model, key))
         # Persist normalization stats so eval rebuilds the exact training
         # normalizer instead of re-deriving it from whatever --dataset is
         # given at eval time (which silently shifts scaling if it differs).
@@ -391,7 +402,9 @@ class Trainer:
         )
 
         # Reference-schema .pt export for interop (training.py:191-224).
-        if self.export_pt:
+        # U-Net only: the .pt schema IS the reference U-Net state_dict layout;
+        # transformer checkpoints live in the native orbax format.
+        if self.export_pt and type(self.diffusion.model).__name__ == "TemporalUnet":
             try:
                 from dadiff_tpu.io.torch_compat import save_pt_checkpoint
 
