@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--wall-aware", action="store_true",
                    help="obstacle-aware projection: revert plan rows dragged "
                         "into wall cells of the selected map")
+    p.add_argument("--collision", type=str, default="disc",
+                   choices=["disc", "axis"],
+                   help="wall contact model: MuJoCo-like disc push-out "
+                        "(default) or the harsher axis-freeze")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
     args = p.parse_args(argv)
@@ -51,7 +55,7 @@ def main(argv=None):
     from dadiff_tpu.ops.projection import NormStats
 
     diffusion, params, dataset = load_model(args.checkpoint, args.dataset)
-    env = PointMazeJax(map_name=args.map)
+    env = PointMazeJax(map_name=args.map, collision=args.collision)
     stats = NormStats.from_normalizer(dataset.normalizer)
 
     projection = None
