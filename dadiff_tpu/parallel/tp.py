@@ -64,7 +64,20 @@ def _tp_spec_for_leaf(name: str, leaf, tp_size: int, min_size: int):
       bias / norm scale        (out,)         -> shard dim 0
     Leaves whose output dim is too small or not divisible stay replicated.
     """
-    if leaf.ndim == 3:
+    if "attn" in name:
+        # flax MultiHeadDotProductAttention (TemporalTransformer blocks):
+        #   q/k/v kernel (in, heads, head_dim), bias (heads, head_dim)
+        #   out   kernel (heads, head_dim, out), bias (out,)
+        # Megatron-style: shard the HEADS dim so per-head attention stays
+        # device-local; the out projection contracts over heads (XLA
+        # inserts the psum). Out bias adds post-reduction: replicated.
+        if leaf.ndim == 3:
+            out_dim = 0 if "out" in name else 1
+        elif leaf.ndim == 2:
+            out_dim = 0
+        else:
+            return None
+    elif leaf.ndim == 3:
         out_dim = 1 if "upsample" in name else 2
     elif leaf.ndim == 2:
         out_dim = 1
@@ -72,7 +85,10 @@ def _tp_spec_for_leaf(name: str, leaf, tp_size: int, min_size: int):
         out_dim = 0
     else:
         return None
-    if leaf.shape[out_dim] % tp_size != 0 or leaf.shape[out_dim] < min_size:
+    # Attention heads counts are small by design; divisibility alone gates
+    # them (min_size guards only wide channel dims).
+    floor = 1 if "attn" in name else min_size
+    if leaf.shape[out_dim] % tp_size != 0 or leaf.shape[out_dim] < floor:
         return None
     spec = [None] * leaf.ndim
     spec[out_dim] = "__tp__"

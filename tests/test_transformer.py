@@ -156,3 +156,45 @@ def test_dp_sharding_composes(model):
     }
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_tp_sharded_forward_matches_single_device(model, params):
+    # Megatron-style head sharding (parallel/tp.py attn rules) is
+    # numerically inert on the virtual mesh.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dadiff_tpu.parallel.mesh import make_mesh
+    from dadiff_tpu.parallel.tp import shard_params_tp, unet_param_specs
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 8))
+    t = jnp.arange(8) % 10
+    # perturb away from adaLN-zero so the output is nontrivial
+    params_p = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * jax.random.normal(jax.random.PRNGKey(5), a.shape),
+        params,
+    )
+    ref = model.apply({"params": params_p}, x, t)
+
+    mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2})
+    specs = unet_param_specs(params_p, mesh, tp_axis="tp")
+    # attention q/k/v kernels (in, heads, head_dim): heads dim sharded
+    assert specs["block_0"]["attn"]["query"]["kernel"] == P(None, "tp", None)
+    # attention out kernel (heads, head_dim, out): heads dim sharded
+    assert specs["block_0"]["attn"]["out"]["kernel"] == P("tp", None, None)
+
+    sharded_model = TemporalTransformer(
+        transition_dim=8, dim=32, depth=2, n_heads=4,
+        act_spec=("dp", "sp", "tp"),
+    )
+    sharded = shard_params_tp(params_p, mesh, tp_axis="tp")
+    with jax.set_mesh(mesh):
+        fwd = jax.jit(lambda p, x, t: sharded_model.apply({"params": p}, x, t))
+        out = fwd(
+            sharded,
+            jax.device_put(x, NamedSharding(mesh, P("dp"))),
+            jax.device_put(t, NamedSharding(mesh, P("dp"))),
+        )
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
