@@ -89,6 +89,11 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--predict-epsilon", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="model predicts noise (default) vs x0 directly")
+    p.add_argument("--prediction", type=str, default=None,
+                   choices=["epsilon", "x0", "v"],
+                   help="explicit parameterization; 'v' (Salimans & Ho) is "
+                        "new capability vs the reference. Overrides "
+                        "--predict-epsilon when given")
     p.add_argument("--clip-denoised", action=argparse.BooleanOptionalAction,
                    default=True)
     # Training (reference train.py:44-53)
@@ -246,6 +251,7 @@ def train_main(argv=None) -> str:
         loss_type=args.loss_type,
         predict_epsilon=args.predict_epsilon,
         clip_denoised=args.clip_denoised,
+        prediction=args.prediction,
     )
 
     # Loss composition (reference train.py:237-311, sans its NameError bug)
@@ -646,7 +652,7 @@ def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
     cfg = infer_model_config_from_checkpoint(checkpoint)
     # Booleans are not inferable from weight shapes; take them from the
     # stored config sidecar when present.
-    for key in ("predict_epsilon", "clip_denoised"):
+    for key in ("predict_epsilon", "clip_denoised", "prediction"):
         if key in checkpoint.get("config", {}):
             cfg[key] = checkpoint["config"][key]
     horizon = horizon_hint or cfg["horizon"]
@@ -673,6 +679,7 @@ def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
         beta_schedule=cfg["beta_schedule"],
         predict_epsilon=bool(cfg.get("predict_epsilon", True)),
         clip_denoised=bool(cfg.get("clip_denoised", True)),
+        prediction=cfg.get("prediction"),
     )
     state_key = "ema_state_dict" if (use_ema and checkpoint.get("ema_state_dict")) \
         else "model_state_dict"
@@ -734,6 +741,7 @@ def _load_model_native(base: str, dataset_spec: str, horizon_hint=None,
         beta_schedule=cfg["beta_schedule"],
         predict_epsilon=bool(cfg.get("predict_epsilon", True)),
         clip_denoised=bool(cfg.get("clip_denoised", True)),
+        prediction=cfg.get("prediction"),
     )
     import jax.numpy as jnp
 

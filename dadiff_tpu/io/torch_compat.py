@@ -290,7 +290,8 @@ def save_pt_checkpoint(
             # reference loader): normalization stats for exact eval reuse +
             # diffusion booleans not inferable from weight shapes
             **{k: config[k] for k in ("normalizer_name", "normalizer_stats",
-                                      "predict_epsilon", "clip_denoised")
+                                      "predict_epsilon", "clip_denoised",
+                                      "prediction")
                if k in config},
         },
     }

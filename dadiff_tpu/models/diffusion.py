@@ -57,6 +57,28 @@ def predict_start_from_noise(
     )
 
 
+def v_from_x0_eps(
+    schedule: DiffusionSchedule, x_start: jax.Array, noise: jax.Array, t: jax.Array
+) -> jax.Array:
+    """v-parameterization target (Salimans & Ho, progressive distillation):
+    v = sqrt(alpha_bar_t) * eps - sqrt(1 - alpha_bar_t) * x_0. New capability
+    vs the reference (which has only epsilon / x0 prediction)."""
+    c1 = extract(schedule.sqrt_alphas_cumprod, t, x_start.ndim)
+    c2 = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x_start.ndim)
+    return c1 * noise - c2 * x_start
+
+
+def epsilon_from_v(
+    schedule: DiffusionSchedule, x_t: jax.Array, v: jax.Array, t: jax.Array
+) -> jax.Array:
+    """Convert a v-prediction to the equivalent epsilon-prediction:
+    eps = sqrt(1 - alpha_bar_t) * x_t + sqrt(alpha_bar_t) * v. Lets every
+    downstream sampler consume v-models through the epsilon path."""
+    c1 = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x_t.ndim)
+    c2 = extract(schedule.sqrt_alphas_cumprod, t, x_t.ndim)
+    return c1 * x_t + c2 * v
+
+
 def q_posterior(
     schedule: DiffusionSchedule, x_start: jax.Array, x_t: jax.Array, t: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -258,11 +280,16 @@ def diffusion_loss(
     *,
     loss_type: str = "l2",
     predict_epsilon: bool = True,
+    prediction: Optional[str] = None,
     weights: Optional[jax.Array] = None,
     t: Optional[jax.Array] = None,
     noise: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Training loss with uniform random t (reference diffusion.py:253-290)."""
+    """Training loss with uniform random t (reference diffusion.py:253-290).
+
+    ``prediction="v"`` selects the v-parameterization target (apply_fn must
+    then be the RAW model, not an epsilon-wrapped one); otherwise
+    ``predict_epsilon`` picks epsilon vs x0 as in the reference."""
     batch_size = x_start.shape[0]
     t_key, noise_key = jax.random.split(rng)
     if t is None:
@@ -272,7 +299,10 @@ def diffusion_loss(
 
     x_noisy = q_sample(schedule, x_start, t, noise)
     model_out = apply_fn(params, x_noisy, t)
-    target = noise if predict_epsilon else x_start
+    if prediction == "v":
+        target = v_from_x0_eps(schedule, x_start, noise, t)
+    else:
+        target = noise if predict_epsilon else x_start
 
     if loss_type == "l2":
         loss = (model_out - target) ** 2
@@ -309,12 +339,25 @@ class GaussianDiffusion:
     clip_denoised: bool = True
     predict_epsilon: bool = True
     beta_schedule: str = "cosine"
+    # None -> legacy predict_epsilon bool; else "epsilon" | "x0" | "v".
+    # With "v", apply() converts the model's v-output to the equivalent
+    # epsilon so every downstream sampler (scan/DDIM/DPM++/Picard/guided)
+    # works unchanged; loss() trains against the v target.
+    prediction: Optional[str] = None
     schedule: DiffusionSchedule = None  # type: ignore[assignment]
 
     def __post_init__(self):
         if self.schedule is None:
             object.__setattr__(
                 self, "schedule", make_schedule(self.n_timesteps, self.beta_schedule)
+            )
+        if self.prediction is not None:
+            if self.prediction not in ("epsilon", "x0", "v"):
+                raise ValueError(f"Unknown prediction mode: {self.prediction}")
+            # keep the bool coherent for downstream consumers: v-models are
+            # consumed through the epsilon path (apply() wraps the output)
+            object.__setattr__(
+                self, "predict_epsilon", self.prediction != "x0"
             )
 
     @property
@@ -326,7 +369,10 @@ class GaussianDiffusion:
         return self.model.init_params(rng, self.horizon, batch_size)
 
     def apply(self, params, x: jax.Array, t: jax.Array) -> jax.Array:
-        return self.model.apply({"params": params}, x, t)
+        out = self.model.apply({"params": params}, x, t)
+        if self.prediction == "v":
+            out = epsilon_from_v(self.schedule, x, out, t)
+        return out
 
     # -- diffusion math (delegating to the functional core) --------------------
     def q_sample(self, x_start, t, noise):
@@ -394,9 +440,14 @@ class GaussianDiffusion:
         t: Optional[jax.Array] = None,
         noise: Optional[jax.Array] = None,
     ) -> jax.Array:
+        # v-mode trains the RAW model output against the v target; the
+        # epsilon-wrapping in self.apply is for sampling only.
+        raw_apply = lambda p, x, tt: self.model.apply({"params": p}, x, tt)
         return diffusion_loss(
-            self.apply, params, self.schedule, rng, x_start,
+            raw_apply if self.prediction == "v" else self.apply,
+            params, self.schedule, rng, x_start,
             loss_type=self.loss_type,
             predict_epsilon=self.predict_epsilon,
+            prediction=self.prediction,
             weights=weights, t=t, noise=noise,
         )

@@ -362,6 +362,8 @@ class Trainer:
             "predict_epsilon": d.predict_epsilon,
             "clip_denoised": d.clip_denoised,
         }
+        if getattr(d, "prediction", None):
+            cfg["prediction"] = d.prediction
         # Second model family (TemporalTransformer): record the type and its
         # own hyperparameters so load_model rebuilds the right architecture.
         model_type = type(d.model).__name__
