@@ -569,6 +569,11 @@ def build_eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-candidates", type=int, default=1,
                    help="best-of-N candidate plans per replan (batched, "
                         "near-free on TPU; scored by final goal distance)")
+    p.add_argument("--warm-start-t", type=int, default=None,
+                   help="receding-horizon warm start: replans re-noise the "
+                        "previous plan (shifted by the executed steps) to "
+                        "this timestep and denoise only t<K — ~T/K fewer "
+                        "model calls per replan after the first")
     p.add_argument("--batched", action="store_true",
                    help="run all episodes in lockstep with batched replans "
                         "(~Nx faster; per-env seeding, not the sequential "
@@ -815,6 +820,7 @@ def evaluate_main(argv=None) -> dict:
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
+            warm_start_t=args.warm_start_t,
         )
     elif args.policy_type == "mpc":
         policy = MPCPolicy(
@@ -825,6 +831,7 @@ def evaluate_main(argv=None) -> dict:
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
+            warm_start_t=args.warm_start_t,
         )
     elif args.policy_type == "value-guided":
         from dadiff_tpu.guides.policies import ValueGuidedPolicy
@@ -846,6 +853,7 @@ def evaluate_main(argv=None) -> dict:
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
+            warm_start_t=args.warm_start_t,
         )
     else:  # dynamics-aware (reference evaluate.py:362-404)
         from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
@@ -904,6 +912,7 @@ def evaluate_main(argv=None) -> dict:
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
+            warm_start_t=args.warm_start_t,
             guide_fn=guide_fn,
             guide_weight=guide_weight,
         )
@@ -955,6 +964,7 @@ def evaluate_main(argv=None) -> dict:
             "projection_schedule": args.projection_schedule,
             "projection_strength": args.projection_strength,
             "action_horizon": args.action_horizon,
+            "warm_start_t": args.warm_start_t,
             "guide_weight": args.guide_weight
             if (args.policy_type == "value-guided" or args.value_checkpoint)
             else None,

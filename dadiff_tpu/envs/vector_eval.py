@@ -84,6 +84,9 @@ def evaluate_policy_batched(
         rec_rew = [[] for _ in range(n_episodes)]
 
     n_cand = max(1, getattr(policy, "n_candidates", 1))
+    warm_plan = getattr(policy, "_plan_warm", None)
+    prev_trajs = None  # (N, H, D) last selected plans, for warm-start replans
+    prev_shift = 0  # env steps executed since prev_trajs were planned
 
     step = 0
     while step < max_steps and not done.all():
@@ -92,13 +95,30 @@ def evaluate_policy_batched(
             [policy._process_observation(o) for o in obs_list], axis=0
         )
         normed = policy.normalizer.normalize_observations(processed)
+
+        # Receding-horizon warm start (policy.warm_start_t): re-noise the
+        # previous wave's plans, shifted by the steps executed since, and
+        # denoise only the short suffix chain.
+        x_init = None
+        if warm_plan is not None and prev_trajs is not None \
+                and prev_shift < horizon:
+            x_init = np.concatenate(
+                [prev_trajs[:, prev_shift:],
+                 np.repeat(prev_trajs[:, -1:], prev_shift, axis=1)],
+                axis=1,
+            ) if prev_shift > 0 else prev_trajs
+        plan_fn = policy._plan if x_init is None else warm_plan
+
         if n_cand > 1:
             # best-of-N per env: (N*K) plans in one call, best per env kept
             tiled = np.repeat(normed, n_cand, axis=0)
             cond = conditions_for_initial_obs_np(tiled, obs_dim, horizon, trans_dim)
             policy._rng, key = jax.random.split(policy._rng)
-            all_trajs = policy._plan(
-                policy.params, key, cond, policy._P, policy._stats
+            kw = {} if x_init is None else {
+                "x_init": np.repeat(x_init, n_cand, axis=0)
+            }
+            all_trajs = plan_fn(
+                policy.params, key, cond, policy._P, policy._stats, **kw
             ).reshape(n_episodes, n_cand, horizon, trans_dim)
             scores = jax.vmap(policy.candidate_scorer)(
                 all_trajs, jnp.asarray(normed)
@@ -112,9 +132,12 @@ def evaluate_policy_batched(
         else:
             cond = conditions_for_initial_obs_np(normed, obs_dim, horizon, trans_dim)
             policy._rng, key = jax.random.split(policy._rng)
+            kw = {} if x_init is None else {"x_init": x_init}
             trajs = np.asarray(
-                policy._plan(policy.params, key, cond, policy._P, policy._stats)
+                plan_fn(policy.params, key, cond, policy._P, policy._stats, **kw)
             )  # (N, H, D)
+        if warm_plan is not None:
+            prev_trajs = trajs
         if policy.inverse_dynamics is not None:
             # Decision-Diffuser-style: actions from consecutive planned
             # states via the learned inverse model (one batched call)
@@ -162,6 +185,7 @@ def evaluate_policy_batched(
                     success[i] = True
                 done[i] = done[i] | bool(terminated) | bool(truncated)
             step += 1
+        prev_shift = n_exec
 
     for env in envs:
         env.close()

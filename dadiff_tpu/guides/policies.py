@@ -116,6 +116,7 @@ class GuidedPolicy:
         sampler: str = "ddpm",
         ddim_eta: float = 0.0,
         inverse_dynamics: Optional[Callable] = None,
+        warm_start_t: Optional[int] = None,
     ):
         self.diffusion = diffusion
         self.normalizer = normalizer
@@ -155,6 +156,28 @@ class GuidedPolicy:
             sampler=sampler,
             ddim_eta=ddim_eta,
         )
+        # Receding-horizon warm start: after the first (full-chain) plan of an
+        # episode, replans re-noise the previous plan — shifted by the actions
+        # executed since — to timestep warm_start_t and denoise only that
+        # suffix (~n_timesteps/warm_start_t fewer model calls per replan,
+        # temporally consistent plans). New capability vs the reference.
+        self.warm_start_t = warm_start_t
+        self._plan_warm = (
+            make_sampler(
+                diffusion,
+                guide_fn=guide_fn,
+                guide_weight=guide_weight,
+                projection=projection,
+                sampling_timesteps=sampling_timesteps,
+                sampler=sampler,
+                ddim_eta=ddim_eta,
+                warm_start_from=warm_start_t,
+            )
+            if warm_start_t is not None
+            else None
+        )
+        self._last_plan: Optional[np.ndarray] = None  # normalized (1, H, D)
+        self._actions_taken = 0  # env steps executed since _last_plan
         # Best-of-N candidate planning: sample n_candidates plans in one
         # batched call (near-free on the MXU) and keep the best under
         # candidate_scorer (lower is better). New serving capability with no
@@ -201,11 +224,41 @@ class GuidedPolicy:
             tiled, self.observation_dim, self.horizon, self.transition_dim
         )
         self._rng, key = jax.random.split(self._rng)
-        trajs = self._plan(self.params, key, conditions, self._P, self._stats)
+        x_init = self._warm_init()
+        if x_init is not None:
+            # all candidates re-noise the same shifted plan; diversity comes
+            # from the per-candidate q_sample noise
+            trajs = self._plan_warm(
+                self.params, key, conditions, self._P, self._stats,
+                x_init=x_init,
+            )
+        else:
+            trajs = self._plan(self.params, key, conditions, self._P, self._stats)
         if n > 1:
             scores = self.candidate_scorer(trajs, jnp.asarray(normed_obs[0]))
             trajs = trajs[jnp.argmin(scores)][None]
-        return np.asarray(trajs)
+        trajs = np.asarray(trajs)
+        if self.warm_start_t is not None:
+            self._last_plan = trajs
+            self._actions_taken = 0
+        return trajs
+
+    def _warm_init(self) -> Optional[np.ndarray]:
+        """Previous plan shifted by the executed steps (tail-padded with its
+        last row), or None when warm start is off / unusable (first replan of
+        an episode, or the plan is fully stale)."""
+        if self._plan_warm is None or self._last_plan is None:
+            return None
+        shift = self._actions_taken
+        if shift >= self.horizon:
+            return None  # nothing of the old plan remains
+        prev = self._last_plan[0]  # (H, D)
+        if shift == 0:
+            return prev[None]
+        shifted = np.concatenate(
+            [prev[shift:], np.repeat(prev[-1:], shift, axis=0)], axis=0
+        )
+        return shifted[None]
 
     def _fill_action_buffer(self, trajectory: np.ndarray) -> None:
         """Extract and buffer actions (reference policies.py:181-191).
@@ -238,13 +291,17 @@ class GuidedPolicy:
     def get_action(self, observation, **kwargs) -> np.ndarray:
         """Pop the buffer or replan (reference policies.py:193-223)."""
         if self.action_buffer:
+            self._actions_taken += 1
             return self.action_buffer.pop(0)
         trajectory = self.plan(observation)
         self._fill_action_buffer(trajectory)
+        self._actions_taken += 1
         return self.action_buffer.pop(0)
 
     def reset(self) -> None:
         self.action_buffer.clear()
+        self._last_plan = None
+        self._actions_taken = 0
 
 
 class MPCPolicy(GuidedPolicy):

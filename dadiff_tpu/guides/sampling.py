@@ -25,6 +25,7 @@ from dadiff_tpu.models.diffusion import (
     GaussianDiffusion,
     default_timesteps,
     p_mean_variance,
+    q_sample,
 )
 from dadiff_tpu.ops.projection import NormStats, apply_projection, projection_alpha
 
@@ -119,6 +120,7 @@ def make_sampler(
     sampling_timesteps: Optional[int] = None,
     sampler: str = "ddpm",
     ddim_eta: float = 0.0,
+    warm_start_from: Optional[int] = None,
     jit: bool = True,
 ):
     """Build ``plan(params, rng, conditions, P, stats) -> (B, H, D)``.
@@ -139,6 +141,16 @@ def make_sampler(
     DPM-Solver++(2M) (Lu et al., arXiv:2211.01095): deterministic
     second-order multistep in data-prediction space — better few-step
     quality than DDIM at the same model-call budget.
+
+    ``warm_start_from=K`` builds a RECEDING-HORIZON WARM-START sampler
+    (SDEdit-style partial chain): the returned plan takes a mandatory
+    ``x_init`` — a normalized trajectory, e.g. the previous plan shifted by
+    the executed steps — which is forward-noised to the largest remaining
+    timestep (q_sample at t=K-1) and denoised through only the timesteps
+    ``t < K`` of the configured chain. Cuts model calls per replan by
+    ~n_timesteps/K and anchors temporal consistency across replans. New
+    capability vs the reference (always samples from pure noise,
+    policies.py:114-149); composes with every sampler/guidance/projection.
     """
     schedule = diffusion.schedule
     if sampler in ("ddim", "dpmpp"):
@@ -173,6 +185,28 @@ def make_sampler(
         ts_prev = None
     else:
         raise ValueError(f"Unknown sampler: {sampler}")
+
+    if warm_start_from is not None:
+        k = int(warm_start_from)
+        if not 0 < k <= schedule.n_timesteps:
+            raise ValueError(
+                f"warm_start_from must be in [1, {schedule.n_timesteps}], got {k}"
+            )
+        import numpy as _np
+
+        ts_np = _np.asarray(ts)
+        keep = ts_np < k
+        if not keep.any():
+            raise ValueError(
+                f"no sampling timesteps below warm_start_from={k} "
+                f"(chain timesteps: {ts_np.tolist()})"
+            )
+        ts = jnp.asarray(ts_np[keep])
+        if ts_prev is not None:
+            ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+    # static: the timestep x_init is forward-noised to on warm starts
+    # (resolved here — inside plan, ts is a traced jit constant)
+    warm_t0 = int(ts[0]) if warm_start_from is not None else None
     transition_dim = diffusion.transition_dim
     horizon = diffusion.horizon
 
@@ -184,13 +218,24 @@ def make_sampler(
         else None
     )
 
-    def plan(params, rng, conditions: Conditions, P=None, stats: NormStats = None):
+    def plan(params, rng, conditions: Conditions, P=None, stats: NormStats = None,
+             x_init=None):
         values, mask = conditions
         batch = values.shape[0] if values.ndim == 3 else 1
         shape = (batch, horizon, transition_dim)
 
         rng, init_key, noise_key = jax.random.split(rng, 3)
-        x = jax.random.normal(init_key, shape)
+        if warm_start_from is not None:
+            if x_init is None:
+                raise ValueError(
+                    "warm-start sampler requires x_init (the previous "
+                    "normalized plan, shifted by the executed steps)"
+                )
+            x_init = jnp.broadcast_to(jnp.asarray(x_init, jnp.float32), shape)
+            t0 = jnp.full((batch,), warm_t0, jnp.int32)
+            x = q_sample(schedule, x_init, t0, jax.random.normal(init_key, shape))
+        else:
+            x = jax.random.normal(init_key, shape)
         x = conditions.apply(x)
         # all per-step noise drawn in one fused op outside the scan — inside
         # the body it would serialize a threefry chain per iteration.
@@ -333,13 +378,35 @@ def make_sampler(
         return x
 
     if not jit:
+        plan.timesteps = ts  # introspection: the resolved reverse-chain steps
         return plan
 
+    warm = warm_start_from is not None
     if use_projection:
-        return jax.jit(plan)
-
-    # P/stats unused: close over None so jit doesn't trace dead args
-    jitted = jax.jit(lambda params, rng, conditions: plan(params, rng, conditions))
-    return lambda params, rng, conditions, P=None, stats=None: jitted(
-        params, rng, conditions
-    )
+        jitted_p = jax.jit(plan)
+        if warm:
+            out = lambda params, rng, conditions, P=None, stats=None, \
+                x_init=None: jitted_p(params, rng, conditions, P, stats, x_init)
+        else:
+            out = lambda params, rng, conditions, P=None, stats=None: jitted_p(
+                params, rng, conditions, P, stats
+            )
+    elif warm:
+        # P/stats unused: close over None so jit doesn't trace dead args
+        jitted = jax.jit(
+            lambda params, rng, conditions, x_init: plan(
+                params, rng, conditions, x_init=x_init
+            )
+        )
+        out = lambda params, rng, conditions, P=None, stats=None, x_init=None: (
+            jitted(params, rng, conditions, x_init)
+        )
+    else:
+        jitted = jax.jit(
+            lambda params, rng, conditions: plan(params, rng, conditions)
+        )
+        out = lambda params, rng, conditions, P=None, stats=None: jitted(
+            params, rng, conditions
+        )
+    out.timesteps = ts
+    return out
