@@ -41,6 +41,7 @@ def make_ondevice_evaluator(
     sampling_timesteps: Optional[int] = None,
     projection: Optional[ProjectionSpec] = None,
     n_candidates: int = 1,
+    warm_start_t: Optional[int] = None,
     jit: bool = True,
     mesh=None,
     batch_axis: str = "dp",
@@ -60,12 +61,29 @@ def make_ondevice_evaluator(
     including the planner fan-out) over ``batch_axis`` — the BASELINE
     configs[4] topology: N vmapped guided samplers + on-device rollouts
     across the chip mesh. batch_size must divide by the axis size.
+
+    ``warm_start_t=K`` warm-starts every replan after the first: the first
+    plan of each rollout runs the full chain (hoisted out of the macro
+    scan), then the scanned replans re-noise the previous selected plan —
+    shifted by ``action_horizon`` — to timestep K and denoise only t<K
+    (guides/sampling.py warm-start semantics, fused on device).
     """
     plan = make_sampler(
         diffusion,
         projection=projection,
         sampling_timesteps=sampling_timesteps,
         jit=False,
+    )
+    plan_warm = (
+        make_sampler(
+            diffusion,
+            projection=projection,
+            sampling_timesteps=sampling_timesteps,
+            warm_start_from=warm_start_t,
+            jit=False,
+        )
+        if warm_start_t is not None
+        else None
     )
     obs_dim = diffusion.observation_dim
     act_dim = diffusion.action_dim
@@ -90,58 +108,96 @@ def make_ondevice_evaluator(
         total_reward = jnp.zeros((batch_size,))
         succeeded = jnp.zeros((batch_size,), bool)
 
-        def macro_step(carry, key):
-            state, obs, total_reward, succeeded = carry
+        def make_macro(plan_fn, use_warm):
+            def macro_step(carry, key):
+                state, obs, total_reward, succeeded, traj_prev = carry
 
-            normed_obs = (obs - stats.obs_mean) / stats.obs_std
-            if n_candidates > 1:
-                tiled = jnp.repeat(normed_obs, n_candidates, axis=0)  # (B*N, d)
-                cond = conditions_for_initial_obs(tiled, obs_dim, horizon, trans_dim)
-                trajs = plan(params, key, cond, P, stats)  # (B*N, H, D)
-                trajs = trajs.reshape(batch_size, n_candidates, horizon, trans_dim)
-                # score: final predicted position vs goal in PHYSICAL space
-                # (normalized-space distance is not monotone in physical
-                # distance when stat blocks differ); the env carry holds
-                # the physical goal exactly
-                goal = state.goal  # (B, 2) physical
-                final_pos = (
-                    trajs[:, :, -1, 0:2] * stats.obs_std[0:2]
-                    + stats.obs_mean[0:2]
-                )  # (B, N, 2)
-                scores = jnp.linalg.norm(final_pos - goal[:, None], axis=-1)
-                best = jnp.argmin(scores, axis=1)  # (B,)
-                traj = jnp.take_along_axis(
-                    trajs, best[:, None, None, None], axis=1
-                )[:, 0]
-            else:
-                cond = conditions_for_initial_obs(
-                    normed_obs, obs_dim, horizon, trans_dim
+                normed_obs = (obs - stats.obs_mean) / stats.obs_std
+                x_init = None
+                if use_warm:
+                    # previous selected plan shifted by the executed steps,
+                    # tail-padded with its final row
+                    x_init = jnp.concatenate(
+                        [
+                            traj_prev[:, action_horizon:],
+                            jnp.repeat(
+                                traj_prev[:, -1:], action_horizon, axis=1
+                            ),
+                        ],
+                        axis=1,
+                    )
+                if n_candidates > 1:
+                    tiled = jnp.repeat(normed_obs, n_candidates, axis=0)
+                    cond = conditions_for_initial_obs(
+                        tiled, obs_dim, horizon, trans_dim
+                    )
+                    if use_warm:
+                        trajs = plan_fn(
+                            params, key, cond, P, stats,
+                            x_init=jnp.repeat(x_init, n_candidates, axis=0),
+                        )
+                    else:
+                        trajs = plan_fn(params, key, cond, P, stats)
+                    trajs = trajs.reshape(
+                        batch_size, n_candidates, horizon, trans_dim
+                    )
+                    # score: final predicted position vs goal in PHYSICAL
+                    # space (normalized-space distance is not monotone in
+                    # physical distance when stat blocks differ); the env
+                    # carry holds the physical goal exactly
+                    goal = state.goal  # (B, 2) physical
+                    final_pos = (
+                        trajs[:, :, -1, 0:2] * stats.obs_std[0:2]
+                        + stats.obs_mean[0:2]
+                    )  # (B, N, 2)
+                    scores = jnp.linalg.norm(final_pos - goal[:, None], axis=-1)
+                    best = jnp.argmin(scores, axis=1)  # (B,)
+                    traj = jnp.take_along_axis(
+                        trajs, best[:, None, None, None], axis=1
+                    )[:, 0]
+                else:
+                    cond = conditions_for_initial_obs(
+                        normed_obs, obs_dim, horizon, trans_dim
+                    )
+                    if use_warm:
+                        traj = plan_fn(params, key, cond, P, stats, x_init=x_init)
+                    else:
+                        traj = plan_fn(params, key, cond, P, stats)
+
+                # actions for the next action_horizon steps (physical space)
+                acts_norm = traj[:, :action_horizon, obs_dim : obs_dim + act_dim]
+                acts = acts_norm * stats.action_std + stats.action_mean
+
+                def env_step(inner, a):
+                    state, obs, total_reward, succeeded = inner
+                    state, obs, reward, _ = env.step(state, a)
+                    total_reward = total_reward + reward
+                    dist = jnp.linalg.norm(state.pos - state.goal, axis=-1)
+                    succeeded = succeeded | (dist <= GOAL_THRESHOLD)
+                    return (state, obs, total_reward, succeeded), None
+
+                (state, obs, total_reward, succeeded), _ = lax.scan(
+                    env_step,
+                    (state, obs, total_reward, succeeded),
+                    jnp.swapaxes(acts, 0, 1),  # (A, B, act_dim)
                 )
-                traj = plan(params, key, cond, P, stats)
+                return (state, obs, total_reward, succeeded, traj), None
 
-            # actions for the next action_horizon steps (physical space)
-            acts_norm = traj[:, :action_horizon, obs_dim : obs_dim + act_dim]
-            acts = acts_norm * stats.action_std + stats.action_mean
-
-            def env_step(inner, a):
-                state, obs, total_reward, succeeded = inner
-                state, obs, reward, _ = env.step(state, a)
-                total_reward = total_reward + reward
-                dist = jnp.linalg.norm(state.pos - state.goal, axis=-1)
-                succeeded = succeeded | (dist <= GOAL_THRESHOLD)
-                return (state, obs, total_reward, succeeded), None
-
-            (state, obs, total_reward, succeeded), _ = lax.scan(
-                env_step,
-                (state, obs, total_reward, succeeded),
-                jnp.swapaxes(acts, 0, 1),  # (A, B, act_dim)
-            )
-            return (state, obs, total_reward, succeeded), None
+            return macro_step
 
         keys = jax.random.split(rng, n_replans)
-        (state, obs, total_reward, succeeded), _ = lax.scan(
-            macro_step, (state, obs, total_reward, succeeded), keys
+        carry = (
+            state, obs, total_reward, succeeded,
+            jnp.zeros((batch_size, horizon, trans_dim)),
         )
+        if plan_warm is None:
+            carry, _ = lax.scan(make_macro(plan, False), carry, keys)
+        else:
+            # first replan runs the full chain (hoisted out of the scan);
+            # the scanned replans warm-start from the carried plan
+            carry, _ = make_macro(plan, False)(carry, keys[0])
+            carry, _ = lax.scan(make_macro(plan_warm, True), carry, keys[1:])
+        state, obs, total_reward, succeeded, _ = carry
 
         final_dist = jnp.linalg.norm(state.pos - state.goal, axis=-1)
         metrics = RolloutMetrics(

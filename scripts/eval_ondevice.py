@@ -30,6 +30,9 @@ def main(argv=None):
                    help="dynamics-aware per-step projection in the plan scan")
     p.add_argument("--n-candidates", type=int, default=1,
                    help="best-of-N candidate plans per replan wave (fused)")
+    p.add_argument("--warm-start-t", type=int, default=None,
+                   help="warm-start replans after the first from the shifted "
+                        "previous plan re-noised to this timestep")
     p.add_argument("--projection-schedule", type=str, default="noise_schedule")
     p.add_argument("--wall-aware", action="store_true",
                    help="obstacle-aware projection: revert plan rows dragged "
@@ -93,6 +96,7 @@ def main(argv=None):
         sampling_timesteps=args.sampling_timesteps,
         projection=projection,
         n_candidates=args.n_candidates,
+        warm_start_t=args.warm_start_t,
     )
 
     # compile
@@ -115,6 +119,7 @@ def main(argv=None):
         "projection": bool(args.projection),
         "wall_aware": bool(args.wall_aware),
         "n_candidates": args.n_candidates,
+        "warm_start_t": args.warm_start_t,
         "batch": args.batch,
         "env_steps_per_episode": args.n_replans * args.action_horizon,
         "success_rate": float(metrics.success_rate),

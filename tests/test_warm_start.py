@@ -172,6 +172,26 @@ def test_stale_plan_falls_back_to_full(diffusion, params):
     assert policy._warm_init() is None
 
 
+def test_ondevice_rollout_warm_start(diffusion, params):
+    from dadiff_tpu.envs.pointmaze_jax import PointMazeJax
+    from dadiff_tpu.envs.rollout import make_ondevice_evaluator
+    from dadiff_tpu.ops.projection import NormStats
+
+    env = PointMazeJax(map_name="umaze")
+    stats = NormStats(
+        obs_mean=jnp.zeros(6), obs_std=jnp.ones(6),
+        action_mean=jnp.zeros(2), action_std=jnp.ones(2),
+    )
+    for n_cand in (1, 2):
+        evaluator = make_ondevice_evaluator(
+            diffusion, env, action_horizon=4, n_replans=3,
+            n_candidates=n_cand, warm_start_t=4,
+        )
+        metrics, _ = evaluator(params, jax.random.PRNGKey(0), stats, 4)
+        assert np.isfinite(float(metrics.mean_reward))
+        assert 0.0 <= float(metrics.success_rate) <= 1.0
+
+
 def test_batched_eval_accepts_warm_start(diffusion, params):
     pytest.importorskip("gymnasium_robotics")
     from dadiff_tpu.envs.vector_eval import evaluate_policy_batched
