@@ -246,7 +246,16 @@ def load_episodes(spec: str, **kwargs) -> List[Episode]:
                                                     in for Minari expert sets)
         anything else                               Minari dataset name
         (e.g. 'D4RL/pointmaze/umaze-v2', reference registry.py:30-34)
+
+    Specs may be mixed with '+' (e.g. 'npz:seeds.npz+npz:engine.npz'):
+    the episode lists are concatenated in order — the documented
+    clean-seed + engine-data training mixes without an ad-hoc merge step.
     """
+    if "+" in spec:
+        episodes = []
+        for part in spec.split("+"):
+            episodes.extend(load_episodes(part, **kwargs))
+        return episodes
     if spec.startswith("synthetic:"):
         rest = spec.split(":", 1)[1]
         parts = rest.split(":")

@@ -135,6 +135,21 @@ def test_npz_roundtrip(tmp_path):
     assert len(ds) > 0
 
 
+def test_mixed_spec_concatenates(tmp_path):
+    a = sources.generate_synthetic_episodes("pointmaze", n_episodes=2, episode_len=10)
+    b = sources.generate_synthetic_episodes("pointmaze", n_episodes=3, episode_len=10)
+    pa, pb = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    sources.save_episodes_npz(pa, a)
+    sources.save_episodes_npz(pb, b)
+    mixed = sources.load_episodes(f"npz:{pa}+npz:{pb}")
+    assert len(mixed) == 5
+    np.testing.assert_array_equal(mixed[0]["observations"], a[0]["observations"])
+    np.testing.assert_array_equal(mixed[2]["observations"], b[0]["observations"])
+    # end-to-end through the dataset layer
+    ds = SequenceDataset(f"npz:{pa}+npz:{pb}", horizon=8)
+    assert len(ds) > 0
+
+
 def test_flatten_observation_dict_variants():
     obs = {"observation": np.arange(4.0), "desired_goal": np.array([9.0, 9.0])}
     np.testing.assert_array_equal(
