@@ -25,6 +25,7 @@ _YAML_TO_ARG = {
     ("diffusion", "loss_type"): "loss_type",
     ("diffusion", "clip_denoised"): "clip_denoised",
     ("diffusion", "predict_epsilon"): "predict_epsilon",
+    ("diffusion", "prediction"): "prediction",
     ("training", "n_epochs"): "n_epochs",
     ("training", "batch_size"): "batch_size",
     ("training", "learning_rate"): "lr",
