@@ -765,33 +765,15 @@ def _load_model_native(base: str, dataset_spec: str, horizon_hint=None,
     return diffusion, jax.device_put(params), dataset
 
 
-def evaluate_main(argv=None) -> dict:
-    parser = build_eval_parser()
-    args = parser.parse_args(argv)
-    _select_device(args.device)
-
-    from dadiff_tpu.envs.host import evaluate_policy, make_env, save_results
+def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
+                           sampling_timesteps):
+    """Construct the policy an eval-parser namespace describes — shared by
+    evaluate_main and the planning server (scripts/serve.py)."""
     from dadiff_tpu.guides.policies import (
         DynamicsAwarePolicy,
         GuidedPolicy,
         MPCPolicy,
     )
-
-    dataset_spec = args.dataset or ENV_TO_DATASET.get(args.env)
-    if dataset_spec is None:
-        raise SystemExit(f"No default dataset for {args.env}; pass --dataset")
-
-    print(f"=== Evaluating {args.policy_type} on {args.env} "
-          f"(checkpoint {args.checkpoint}) ===")
-    diffusion, params, dataset = load_model(
-        args.checkpoint, dataset_spec, use_ema=args.use_ema
-    )
-
-    # Safe truncation (vs reference's raw overwrite, evaluate.py:350-353)
-    sampling_timesteps = min(args.sampling_timesteps, diffusion.n_timesteps)
-    if sampling_timesteps != args.sampling_timesteps:
-        print(f"clamping sampling timesteps {args.sampling_timesteps} -> "
-              f"{sampling_timesteps} (trained {diffusion.n_timesteps})")
 
     candidate_scorer = None
     if args.candidate_scorer == "velocity":
@@ -916,6 +898,35 @@ def evaluate_main(argv=None) -> dict:
             guide_fn=guide_fn,
             guide_weight=guide_weight,
         )
+    return policy
+
+
+def evaluate_main(argv=None) -> dict:
+    parser = build_eval_parser()
+    args = parser.parse_args(argv)
+    _select_device(args.device)
+
+    from dadiff_tpu.envs.host import evaluate_policy, make_env, save_results
+
+    dataset_spec = args.dataset or ENV_TO_DATASET.get(args.env)
+    if dataset_spec is None:
+        raise SystemExit(f"No default dataset for {args.env}; pass --dataset")
+
+    print(f"=== Evaluating {args.policy_type} on {args.env} "
+          f"(checkpoint {args.checkpoint}) ===")
+    diffusion, params, dataset = load_model(
+        args.checkpoint, dataset_spec, use_ema=args.use_ema
+    )
+
+    # Safe truncation (vs reference's raw overwrite, evaluate.py:350-353)
+    sampling_timesteps = min(args.sampling_timesteps, diffusion.n_timesteps)
+    if sampling_timesteps != args.sampling_timesteps:
+        print(f"clamping sampling timesteps {args.sampling_timesteps} -> "
+              f"{sampling_timesteps} (trained {diffusion.n_timesteps})")
+
+    policy = build_policy_from_args(
+        args, diffusion, params, dataset, dataset_spec, sampling_timesteps
+    )
 
     if args.save_episodes and not args.batched:
         raise SystemExit("--save-episodes requires --batched")
