@@ -574,6 +574,12 @@ def build_eval_parser() -> argparse.ArgumentParser:
                         "previous plan (shifted by the executed steps) to "
                         "this timestep and denoise only t<K — ~T/K fewer "
                         "model calls per replan after the first")
+    p.add_argument("--replan-deviation", type=float, default=None,
+                   help="replan early when the executed observation drifts "
+                        "more than this L2 distance (normalized space) from "
+                        "the plan row it should be on (sequential protocol "
+                        "only — lockstep --batched waves cannot replan "
+                        "per-env)")
     p.add_argument("--batched", action="store_true",
                    help="run all episodes in lockstep with batched replans "
                         "(~Nx faster; per-env seeding, not the sequential "
@@ -803,6 +809,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
             warm_start_t=args.warm_start_t,
+            replan_deviation=args.replan_deviation,
         )
     elif args.policy_type == "mpc":
         policy = MPCPolicy(
@@ -814,6 +821,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
             warm_start_t=args.warm_start_t,
+            replan_deviation=args.replan_deviation,
         )
     elif args.policy_type == "value-guided":
         from dadiff_tpu.guides.policies import ValueGuidedPolicy
@@ -836,6 +844,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
             warm_start_t=args.warm_start_t,
+            replan_deviation=args.replan_deviation,
         )
     else:  # dynamics-aware (reference evaluate.py:362-404)
         from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
@@ -895,6 +904,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
             warm_start_t=args.warm_start_t,
+            replan_deviation=args.replan_deviation,
             guide_fn=guide_fn,
             guide_weight=guide_weight,
         )
@@ -904,6 +914,11 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
 def evaluate_main(argv=None) -> dict:
     parser = build_eval_parser()
     args = parser.parse_args(argv)
+    if args.replan_deviation is not None and args.batched:
+        raise SystemExit(
+            "--replan-deviation needs the sequential protocol (drop --batched):"
+            " lockstep waves cannot replan per-env"
+        )
     _select_device(args.device)
 
     from dadiff_tpu.envs.host import evaluate_policy, make_env, save_results
@@ -976,6 +991,7 @@ def evaluate_main(argv=None) -> dict:
             "projection_strength": args.projection_strength,
             "action_horizon": args.action_horizon,
             "warm_start_t": args.warm_start_t,
+            "replan_deviation": args.replan_deviation,
             "guide_weight": args.guide_weight
             if (args.policy_type == "value-guided" or args.value_checkpoint)
             else None,

@@ -117,6 +117,7 @@ class GuidedPolicy:
         ddim_eta: float = 0.0,
         inverse_dynamics: Optional[Callable] = None,
         warm_start_t: Optional[int] = None,
+        replan_deviation: Optional[float] = None,
     ):
         self.diffusion = diffusion
         self.normalizer = normalizer
@@ -178,6 +179,13 @@ class GuidedPolicy:
         )
         self._last_plan: Optional[np.ndarray] = None  # normalized (1, H, D)
         self._actions_taken = 0  # env steps executed since _last_plan
+        # Deviation-triggered replanning (standard MPC practice; no reference
+        # counterpart): drop the remaining buffer and replan early when the
+        # executed observation drifts more than this L2 distance (normalized
+        # space, full obs) from the plan row it should be on. None = fixed
+        # cadence (replan only when the buffer drains).
+        self.replan_deviation = replan_deviation
+        self._planned_obs: List[np.ndarray] = []  # normalized rows, buffer-aligned
         # Best-of-N candidate planning: sample n_candidates plans in one
         # batched call (near-free on the MXU) and keep the best under
         # candidate_scorer (lower is better). New serving capability with no
@@ -282,26 +290,48 @@ class GuidedPolicy:
             )
             for a in acts:
                 self.action_buffer.append(np.ravel(a))
-            return
-        for t in range(start, stop):
-            normed = traj[t, a0:a1]
-            action = self.normalizer.unnormalize_actions(normed.reshape(1, -1))
-            self.action_buffer.append(np.ravel(action))
+        else:
+            for t in range(start, stop):
+                normed = traj[t, a0:a1]
+                action = self.normalizer.unnormalize_actions(normed.reshape(1, -1))
+                self.action_buffer.append(np.ravel(action))
+        # plan rows aligned with each buffered action, for deviation checks
+        self._planned_obs = [
+            traj[start + i, : self.observation_dim]
+            for i in range(len(self.action_buffer))
+        ]
+
+    def _deviated_from_plan(self, observation) -> bool:
+        """True when the executed observation drifted more than
+        ``replan_deviation`` (normalized L2) from the plan row it should be
+        on — the remaining open-loop actions are then stale."""
+        if self.replan_deviation is None or not self._planned_obs:
+            return False
+        cur = self.normalizer.normalize_observations(
+            self._process_observation(observation)
+        )[0]
+        return float(
+            np.linalg.norm(cur - self._planned_obs[0])
+        ) > self.replan_deviation
 
     def get_action(self, observation, **kwargs) -> np.ndarray:
         """Pop the buffer or replan (reference policies.py:193-223)."""
-        if self.action_buffer:
-            self._actions_taken += 1
-            return self.action_buffer.pop(0)
-        trajectory = self.plan(observation)
-        self._fill_action_buffer(trajectory)
+        if self.action_buffer and self._deviated_from_plan(observation):
+            self.action_buffer.clear()
+            self._planned_obs.clear()
+        if not self.action_buffer:
+            trajectory = self.plan(observation)
+            self._fill_action_buffer(trajectory)
         self._actions_taken += 1
+        if self._planned_obs:
+            self._planned_obs.pop(0)
         return self.action_buffer.pop(0)
 
     def reset(self) -> None:
         self.action_buffer.clear()
         self._last_plan = None
         self._actions_taken = 0
+        self._planned_obs = []
 
 
 class MPCPolicy(GuidedPolicy):
