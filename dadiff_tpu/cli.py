@@ -549,10 +549,16 @@ def build_eval_parser() -> argparse.ArgumentParser:
                         "learned inverse-dynamics model (Decision-Diffuser-"
                         "style; robust for locomotion)")
     p.add_argument("--candidate-scorer", type=str, default="goal",
-                   choices=["goal", "velocity"],
-                   help="best-of-N plan scorer: final goal distance (maze) "
-                        "or negative mean planned forward velocity "
-                        "(locomotion)")
+                   choices=["goal", "velocity", "wall-penalty"],
+                   help="best-of-N plan scorer: final goal distance (maze), "
+                        "negative mean planned forward velocity "
+                        "(locomotion), or goal distance + wall-collision "
+                        "penalty (wall-dense mazes: plain goal distance "
+                        "prefers plans that cut through walls)")
+    p.add_argument("--wall-penalty-weight", type=float, default=5.0,
+                   help="penalty per fully-in-wall plan (scaled by the "
+                        "fraction of rows in wall cells) for "
+                        "--candidate-scorer wall-penalty")
     p.add_argument("--skip-conditioned-action", action="store_true",
                    help="start the action buffer at t=1 instead of t=0: the "
                         "reference buffers from t=0, whose action the "
@@ -786,6 +792,18 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
         from dadiff_tpu.guides.policies import velocity_scorer_for_env
 
         candidate_scorer = velocity_scorer_for_env(args.env)
+    elif args.candidate_scorer == "wall-penalty":
+        from dadiff_tpu.guides.policies import make_wall_penalty_scorer
+
+        grid = maze_grid_for_env(args.env)
+        if grid is None:
+            raise SystemExit(
+                f"--candidate-scorer wall-penalty: no maze map for {args.env}"
+            )
+        candidate_scorer = make_wall_penalty_scorer(
+            dataset.normalizer.obs_mean, dataset.normalizer.obs_std,
+            grid, penalty=args.wall_penalty_weight,
+        )
 
     inverse_dynamics = None
     if args.action_source == "inverse-dynamics":
@@ -982,6 +1000,8 @@ def evaluate_main(argv=None) -> dict:
             "sampler": args.sampler,
             "n_candidates": args.n_candidates,
             "candidate_scorer": args.candidate_scorer,
+            "wall_penalty_weight": args.wall_penalty_weight
+            if args.candidate_scorer == "wall-penalty" else None,
             "action_source": args.action_source,
             "batched": args.batched,
             "wall_aware": getattr(args, "wall_aware", False),

@@ -70,6 +70,39 @@ def make_goal_distance_scorer(obs_mean, obs_std):
     return scorer
 
 
+def make_wall_penalty_scorer(
+    obs_mean, obs_std, wall_grid, penalty: float = 5.0,
+    margin: Optional[float] = None,
+):
+    """Goal-distance scorer with a wall-collision penalty.
+
+    Best-of-N selection by final goal distance alone systematically prefers
+    plans that cut *through* walls — the shortest path ignores obstacles, and
+    in wall-dense mazes the scorer then keeps exactly the candidates that
+    cannot be executed. This scorer adds ``penalty`` x (fraction of plan rows
+    whose physical position lies inside a wall cell, via
+    ops/projection.wall_violation_mask), so among near-goal candidates the
+    executable one wins. No reference counterpart (the reference has no
+    candidate selection at all — its eval samples batch_size=1,
+    /root/reference/m_diffuser/guides/policies.py:217).
+    """
+    from dadiff_tpu.ops.projection import wall_violation_mask
+
+    base = make_goal_distance_scorer(obs_mean, obs_std)
+    grid = jnp.asarray(wall_grid, jnp.int32)
+    mean2 = jnp.asarray(obs_mean, jnp.float32)[0:2]
+    std2 = jnp.asarray(obs_std, jnp.float32)[0:2]
+
+    def scorer(trajs: jax.Array, normed_obs: jax.Array) -> jax.Array:
+        pos = trajs[:, :, 0:2] * std2 + mean2  # (N, H, 2) physical xy
+        bad = wall_violation_mask(pos, grid, margin=margin)  # (N, H)
+        return base(trajs, normed_obs) + penalty * jnp.mean(
+            bad.astype(jnp.float32), axis=-1
+        )
+
+    return scorer
+
+
 def make_velocity_scorer(vel_index: int):
     """Best-of-N scorer for locomotion: negative mean planned forward
     velocity over the horizon (lower score = faster plan). ``vel_index`` is

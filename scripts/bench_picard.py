@@ -18,6 +18,10 @@ crossover dim is where Picard's wall-clock beats the sequential scan.
 Writes results/picard_crossover.json and prints one line per config.
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
 import json
 import os
 import statistics

@@ -7,6 +7,10 @@ specifics: backend identification, jit compile check, mesh construction,
 and hermetic-data fallbacks.
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
 import sys
 import traceback
 

@@ -13,6 +13,10 @@ Example:
         --out data/halfcheetah_tpu.npz --explore-sigma 0.3
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
 import argparse
 import sys
 import time

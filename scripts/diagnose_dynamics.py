@@ -9,6 +9,10 @@ k-step prediction error), scripts/test_numerical-dynamics.py. One tool:
         --dataset npz:data/pointmaze_umaze_expert.npz
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
 import argparse
 
 import numpy as np

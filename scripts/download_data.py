@@ -10,6 +10,11 @@ with hermetic collection:
         --episodes 50 --out data/pointmaze_rollouts.npz
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
+
 from dadiff_tpu.cli import download_main
 
 if __name__ == "__main__":

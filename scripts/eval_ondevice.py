@@ -10,6 +10,10 @@ per episode. Reports success rate, mean reward, and episodes/hour.
         --n-replans 16 --action-horizon 16 [--projection]
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
 import argparse
 import json
 import time

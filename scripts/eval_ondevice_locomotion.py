@@ -18,6 +18,10 @@ protocol; this is the throughput path.
         --batch 128 --n-replans 25 --action-horizon 8
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
 import argparse
 import json
 import time

@@ -10,6 +10,11 @@ reference's canonical protocol, README.md:96-128):
         --env PointMaze_UMaze-v3 --policy-type dynamics-aware --seed 42
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
+
 from dadiff_tpu.cli import evaluate_main
 
 if __name__ == "__main__":

@@ -10,6 +10,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
+
 from dadiff_tpu.cli import enable_compilation_cache
 
 enable_compilation_cache()

@@ -25,6 +25,10 @@ One request at a time (the TPU program is serialized anyway); malformed
 requests get {"error": "..."} and the connection stays up.
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
 import argparse
 import json
 import socket

@@ -14,6 +14,11 @@ Reference analogue: scripts/train.py. Examples:
     python scripts/train.py --config configs/experiments/pointmaze.yaml
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
+
 from dadiff_tpu.cli import train_main
 
 if __name__ == "__main__":

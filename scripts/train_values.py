@@ -10,6 +10,11 @@ Completes the capability the reference declares but never implements
         --value-checkpoint logs/values/value_final ...
 """
 
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
+
 from dadiff_tpu.cli import train_value_main
 
 if __name__ == "__main__":

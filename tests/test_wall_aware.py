@@ -159,3 +159,44 @@ def test_wall_mask_respects_agent_radius():
     # default (margin 0, the measured-best config): center-cell only
     assert not bool(wall_violation_mask(near_wall, grid)[0])
     assert bool(wall_violation_mask(inside_wall, grid)[0])
+
+
+def test_wall_penalty_scorer_prefers_executable_candidate():
+    """A plan that ends slightly farther from the goal but stays out of
+    walls must beat a closer plan that cuts through a wall cell."""
+    from dadiff_tpu.guides.policies import (
+        make_goal_distance_scorer,
+        make_wall_penalty_scorer,
+    )
+
+    grid = jnp.asarray(UMAZE, jnp.int32)
+    obs_mean = np.zeros(OBS_DIM, np.float32)
+    obs_std = np.ones(OBS_DIM, np.float32)
+    H_ = 8
+    goal = np.asarray([1.0, 1.0], np.float32)
+    # normed_obs: positions at dims 0:2, goal at last two dims
+    normed_obs = jnp.asarray(np.concatenate([[-1.0, -1.0, 0, 0], goal]))
+
+    # candidate 0: straight line through the center wall, ends AT the goal
+    cut = np.stack([
+        np.linspace(-1.0, 1.0, H_), np.linspace(-1.0, 1.0, H_)
+    ], -1)
+    # candidate 1: hugs the free right corridor (x=1), ends slightly short
+    detour = np.stack([
+        np.concatenate([np.full(H_ // 2, 1.0), np.full(H_ // 2, 1.0)]),
+        np.concatenate([np.linspace(-1.0, 0.0, H_ // 2),
+                        np.linspace(0.0, 0.85, H_ // 2)]),
+    ], -1)
+    trajs = np.zeros((2, H_, OBS_DIM + ACT_DIM), np.float32)
+    trajs[0, :, :2], trajs[1, :, :2] = cut, detour
+    trajs = jnp.asarray(trajs)
+
+    plain = make_goal_distance_scorer(obs_mean, obs_std)
+    walled = make_wall_penalty_scorer(obs_mean, obs_std, grid, penalty=5.0)
+    s_plain = np.asarray(plain(trajs, normed_obs))
+    s_wall = np.asarray(walled(trajs, normed_obs))
+    # plain goal distance picks the wall-cutter; the penalty flips it
+    assert s_plain[0] < s_plain[1]
+    assert s_wall[1] < s_wall[0]
+    # penalty equals 5 * fraction-of-rows-in-walls on top of goal distance
+    assert s_wall[1] == pytest.approx(s_plain[1], abs=1e-5)
