@@ -503,6 +503,110 @@ def load_value_checkpoint(base: str, expect_schedule=None):
 
 
 # ===========================================================================
+# consistency distillation (few-step planning; models/consistency.py)
+# ===========================================================================
+
+def distill_main(argv=None) -> str:
+    """Distill a trained DDPM planner into a consistency model: plans in
+    1-4 model calls instead of the full chain (no reference counterpart —
+    the reference has no fast sampling at all; its chain truncation indexes
+    out of bounds, evaluate.py:352)."""
+    p = argparse.ArgumentParser(
+        description="Consistency-distill a trained diffusion planner"
+    )
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="teacher checkpoint (.pt or orbax base)")
+    p.add_argument("--dataset", type=str, required=True,
+                   help="training dataset spec (same data the teacher saw)")
+    p.add_argument("--n-epochs", type=int, default=40)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup-steps", type=int, default=200)
+    p.add_argument("--gradient-clip", type=float, default=1.0)
+    p.add_argument("--target-ema-decay", type=float, default=0.95,
+                   help="decay of the CD target network theta^- (the "
+                        "TrainState EMA slot)")
+    p.add_argument("--sigma-data", type=float, default=0.5)
+    p.add_argument("--huber-c", type=float, default=None,
+                   help="pseudo-Huber c (default: iCT's 0.00054*sqrt(H*D))")
+    p.add_argument("--teacher-ema", action="store_true",
+                   help="distill from the teacher's EMA weights")
+    p.add_argument("--log-dir", type=str, default="./logs")
+    p.add_argument("--run-name", type=str, default=None)
+    p.add_argument("--save-freq", type=int, default=10000)
+    p.add_argument("--num-workers", type=int, default=0)
+    p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    _select_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dadiff_tpu.datasets.sequence import create_dataloader
+    from dadiff_tpu.models.consistency import make_cd_loss
+    from dadiff_tpu.utils.arrays import set_seed
+    from dadiff_tpu.utils.training import Trainer, count_parameters, save_config
+
+    set_seed(args.seed)
+
+    diffusion, teacher_params, dataset = load_model(
+        args.checkpoint, args.dataset, use_ema=args.teacher_ema
+    )
+    print(f"teacher: horizon={diffusion.horizon} T={diffusion.n_timesteps} "
+          f"params={count_parameters(teacher_params):,} "
+          f"device={jax.default_backend()}")
+
+    loader = create_dataloader(
+        dataset, batch_size=args.batch_size, shuffle=True,
+        num_workers=args.num_workers, seed=args.seed,
+    )
+
+    safe_ds = args.dataset.replace("/", "_").replace(":", "_")
+    log_dir = Path(args.log_dir) / safe_ds
+    log_dir = log_dir / (args.run_name or "consistency")
+    log_dir.mkdir(parents=True, exist_ok=True)
+    save_config(vars(args), str(log_dir / "config.json"))
+
+    loss_fn = make_cd_loss(
+        diffusion, teacher_params,
+        sigma_data=args.sigma_data, huber_c=args.huber_c,
+    )
+    # student initializes FROM the teacher (consistency.py docstring); the
+    # EMA slot starts as a copy and becomes the slow target theta^-.
+    student_params = jax.tree_util.tree_map(jnp.copy, teacher_params)
+
+    trainer = Trainer(
+        diffusion,
+        loader,
+        loss_fn,
+        params=student_params,
+        lr=args.lr,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.n_epochs * len(loader),
+        gradient_clip=args.gradient_clip,
+        use_ema=True,
+        ema_decay=args.target_ema_decay,
+        log_dir=str(log_dir),
+        save_freq=args.save_freq,
+        eval_freq=0,
+        loss_names=["consistency"],
+        seed=args.seed,
+        normalizer=dataset.normalizer,
+        loss_takes_ema=True,
+        extra_config={
+            "consistency": True,
+            "sigma_data": args.sigma_data,
+            "teacher_checkpoint": args.checkpoint,
+        },
+    )
+    trainer.train(args.n_epochs)
+    print(f"Distillation complete. Logs: {log_dir}")
+    return str(log_dir)
+
+
+# ===========================================================================
 # evaluate
 # ===========================================================================
 
@@ -569,9 +673,12 @@ def build_eval_parser() -> argparse.ArgumentParser:
                    help="evaluate the EMA weights if present")
     p.add_argument("--max-steps", type=int, default=1000)
     p.add_argument("--sampler", type=str, default="ddpm",
-                   choices=["ddpm", "ddim", "dpmpp"],
+                   choices=["ddpm", "ddim", "dpmpp", "consistency"],
                    help="ddim/dpmpp = strided fast sampling (with conditioning/"
-                        "guidance/projection composed)")
+                        "guidance/projection composed); consistency = few-step "
+                        "multistep sampling with a distilled student checkpoint "
+                        "(scripts/distill.py) — --sampling-timesteps is the "
+                        "model-call budget (default 4)")
     p.add_argument("--n-candidates", type=int, default=1,
                    help="best-of-N candidate plans per replan (batched, "
                         "near-free on TPU; scored by final goal distance)")
@@ -682,6 +789,8 @@ def load_model(checkpoint_path: str, dataset_spec: str, horizon_hint=None,
         use_padding=True,
     )
     _apply_stored_normalizer(dataset, checkpoint.get("config", {}))
+    # expose checkpoint provenance (e.g. the consistency-distillation marker)
+    dataset.checkpoint_config = dict(checkpoint.get("config", {}) or {})
     unet = TemporalUnet(
         transition_dim=dataset.transition_dim,
         dim=cfg["dim"],
@@ -774,6 +883,7 @@ def _load_model_native(base: str, dataset_spec: str, horizon_hint=None,
     state, _ = restore_native(base, template)
     params = state.ema_params if (use_ema and state.ema_params is not None) \
         else state.params
+    dataset.checkpoint_config = dict(cfg or {})
     return diffusion, jax.device_put(params), dataset
 
 
@@ -951,11 +1061,30 @@ def evaluate_main(argv=None) -> dict:
         args.checkpoint, dataset_spec, use_ema=args.use_ema
     )
 
+    # Consistency-distilled checkpoints only make sense under the consistency
+    # sampler (and vice versa the student is NOT a DDPM denoiser anymore).
+    is_cm = bool(getattr(dataset, "checkpoint_config", {}).get("consistency"))
+    if is_cm and args.sampler != "consistency":
+        raise SystemExit(
+            "checkpoint is a consistency-distilled student (config "
+            "consistency=true); evaluate it with --sampler consistency"
+        )
+    if args.sampler == "consistency" and not is_cm:
+        print("WARNING: --sampler consistency with a checkpoint not marked "
+              "as distilled — expect garbage unless this really is a "
+              "consistency model")
+
     # Safe truncation (vs reference's raw overwrite, evaluate.py:350-353)
     sampling_timesteps = min(args.sampling_timesteps, diffusion.n_timesteps)
     if sampling_timesteps != args.sampling_timesteps:
         print(f"clamping sampling timesteps {args.sampling_timesteps} -> "
               f"{sampling_timesteps} (trained {diffusion.n_timesteps})")
+    if args.sampler == "consistency" and sampling_timesteps > 16:
+        # --sampling-timesteps defaults to the DDPM-chain scale; for the
+        # few-step sampler it is the model-call budget.
+        print(f"consistency sampler: interpreting --sampling-timesteps "
+              f"{sampling_timesteps} as default call budget 4")
+        sampling_timesteps = 4
 
     policy = build_policy_from_args(
         args, diffusion, params, dataset, dataset_spec, sampling_timesteps

@@ -153,6 +153,27 @@ def make_sampler(
     policies.py:114-149); composes with every sampler/guidance/projection.
     """
     schedule = diffusion.schedule
+    if sampler == "consistency":
+        # few-step multistep consistency sampling (distilled student params;
+        # models/consistency.py). sampling_timesteps = model-call budget.
+        from dadiff_tpu.models.consistency import make_consistency_sampler
+
+        if guide_fn is not None and guide_weight > 0:
+            raise ValueError(
+                "the consistency sampler does not support gradient guidance "
+                "(no posterior mean to steer); use projection/best-of-N"
+            )
+        if warm_start_from is not None:
+            raise ValueError(
+                "consistency sampling is already few-step; it does not "
+                "compose with --warm-start-t"
+            )
+        return make_consistency_sampler(
+            diffusion,
+            n_steps=int(sampling_timesteps) if sampling_timesteps else 4,
+            projection=projection,
+            jit=jit,
+        )
     if sampler in ("ddim", "dpmpp"):
         n = schedule.n_timesteps
         s = n if sampling_timesteps is None else int(sampling_timesteps)

@@ -291,7 +291,8 @@ def save_pt_checkpoint(
             # diffusion booleans not inferable from weight shapes
             **{k: config[k] for k in ("normalizer_name", "normalizer_stats",
                                       "predict_epsilon", "clip_denoised",
-                                      "prediction")
+                                      "prediction", "consistency",
+                                      "sigma_data", "teacher_checkpoint")
                if k in config},
         },
     }

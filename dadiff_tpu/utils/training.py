@@ -102,6 +102,7 @@ def make_train_step(
     ema_decay: float = 0.995,
     donate: bool = True,
     skip_nonfinite: bool = False,
+    loss_takes_ema: bool = False,
 ):
     """Build the single fused train step:
     loss -> grad -> clip -> adam -> EMA, all inside one jit.
@@ -109,11 +110,21 @@ def make_train_step(
     With ``skip_nonfinite``, a batch producing non-finite gradients skips the
     update (zero gradients) and reports ``nonfinite=1`` — cheap fault
     containment for long unattended runs (the reference has none, SURVEY §5).
+
+    With ``loss_takes_ema``, the loss is called as
+    ``loss_fn(params, batch, rng, ema_params)`` — the EMA slot doubles as a
+    slow-moving TARGET network (consistency distillation's theta^-; the loss
+    must stop_gradient through it). Requires ``use_ema=True``.
     """
+    if loss_takes_ema and not use_ema:
+        raise ValueError("loss_takes_ema requires use_ema=True")
 
     def step(state: TrainState, batch, rng):
         def compute(params):
-            loss, metrics = loss_fn(params, batch, rng)
+            if loss_takes_ema:
+                loss, metrics = loss_fn(params, batch, rng, state.ema_params)
+            else:
+                loss, metrics = loss_fn(params, batch, rng)
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(compute, has_aux=True)(
@@ -193,6 +204,8 @@ class Trainer:
         skip_nonfinite: bool = False,
         val_batch=None,
         normalizer=None,
+        loss_takes_ema: bool = False,
+        extra_config: Optional[Dict[str, Any]] = None,
     ):
         self.diffusion = diffusion
         self.train_loader = train_loader
@@ -207,6 +220,7 @@ class Trainer:
         self.mesh = mesh
         self.export_pt = export_pt
         self.normalizer = normalizer
+        self.extra_config = dict(extra_config) if extra_config else {}
 
         os.makedirs(log_dir, exist_ok=True)
         self._log_file = open(os.path.join(log_dir, "training.log"), "a")
@@ -245,7 +259,7 @@ class Trainer:
 
         self._train_step = make_train_step(
             loss_fn, self.optimizer, use_ema=use_ema, ema_decay=ema_decay,
-            skip_nonfinite=skip_nonfinite,
+            skip_nonfinite=skip_nonfinite, loss_takes_ema=loss_takes_ema,
         )
         self.global_step = 0
 
@@ -386,6 +400,7 @@ class Trainer:
                 k: np.asarray(v).tolist()
                 for k, v in self.normalizer.as_arrays().items()
             }
+        cfg.update(self.extra_config)
         return cfg
 
     def save_checkpoint(self, epoch: int, final: bool = False) -> str:
