@@ -42,6 +42,7 @@ def make_ondevice_evaluator(
     projection: Optional[ProjectionSpec] = None,
     n_candidates: int = 1,
     warm_start_t: Optional[int] = None,
+    sampler: str = "ddpm",
     jit: bool = True,
     mesh=None,
     batch_axis: str = "dp",
@@ -72,6 +73,7 @@ def make_ondevice_evaluator(
         diffusion,
         projection=projection,
         sampling_timesteps=sampling_timesteps,
+        sampler=sampler,
         jit=False,
     )
     plan_warm = (
@@ -79,6 +81,7 @@ def make_ondevice_evaluator(
             diffusion,
             projection=projection,
             sampling_timesteps=sampling_timesteps,
+            sampler=sampler,
             warm_start_from=warm_start_t,
             jit=False,
         )

@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--n-replans", type=int, default=16)
     p.add_argument("--action-horizon", type=int, default=16)
     p.add_argument("--sampling-timesteps", type=int, default=None)
+    p.add_argument("--sampler", type=str, default="ddpm",
+                   choices=["ddpm", "ddim", "dpmpp", "consistency"],
+                   help="consistency = few-step distilled student checkpoint "
+                        "(--sampling-timesteps is the model-call budget)")
     p.add_argument("--projection", action="store_true",
                    help="dynamics-aware per-step projection in the plan scan")
     p.add_argument("--n-candidates", type=int, default=1,
@@ -101,6 +105,7 @@ def main(argv=None):
         projection=projection,
         n_candidates=args.n_candidates,
         warm_start_t=args.warm_start_t,
+        sampler=args.sampler,
     )
 
     # compile

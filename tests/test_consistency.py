@@ -201,3 +201,22 @@ def test_distill_main_end_to_end(tmp_path):
     traj = plan(params, jax.random.PRNGKey(7), cond)
     assert traj.shape == (1, diffusion.horizon, diffusion.transition_dim)
     assert bool(jnp.all(jnp.isfinite(traj)))
+
+
+def test_ondevice_evaluator_with_consistency_sampler(tiny):
+    """The consistency student drives the fully on-device plan->step->replan
+    loop (rollout.py sampler pass-through): 2-call plans per replan wave."""
+    from dadiff_tpu.envs.pointmaze_jax import PointMazeJax
+    from dadiff_tpu.envs.rollout import make_ondevice_evaluator
+    from dadiff_tpu.ops.projection import NormStats
+
+    diffusion, params = tiny
+    env = PointMazeJax(map_name="umaze")
+    evaluator = make_ondevice_evaluator(
+        diffusion, env, action_horizon=4, n_replans=2,
+        sampler="consistency", sampling_timesteps=2, n_candidates=2,
+    )
+    stats = NormStats.identity(D_OBS, D_ACT)
+    metrics, state = evaluator(params, jax.random.PRNGKey(8), stats, 8)
+    assert 0.0 <= float(metrics.success_rate) <= 1.0
+    assert np.isfinite(float(metrics.mean_reward))
