@@ -529,6 +529,10 @@ def distill_main(argv=None) -> str:
     p.add_argument("--sigma-data", type=float, default=0.5)
     p.add_argument("--huber-c", type=float, default=None,
                    help="pseudo-Huber c (default: iCT's 0.00054*sqrt(H*D))")
+    p.add_argument("--skip-steps", type=int, default=1,
+                   help="teacher DDIM gap k per consistency pair (t, t-k) — "
+                        "LCM's skipping-step; larger k = stronger signal per "
+                        "pair, coarser ODE discretization")
     p.add_argument("--teacher-ema", action="store_true",
                    help="distill from the teacher's EMA weights")
     p.add_argument("--log-dir", type=str, default="./logs")
@@ -572,6 +576,7 @@ def distill_main(argv=None) -> str:
     loss_fn = make_cd_loss(
         diffusion, teacher_params,
         sigma_data=args.sigma_data, huber_c=args.huber_c,
+        skip_steps=args.skip_steps,
     )
     # student initializes FROM the teacher (consistency.py docstring); the
     # EMA slot starts as a copy and becomes the slow target theta^-.
@@ -599,6 +604,7 @@ def distill_main(argv=None) -> str:
             "consistency": True,
             "sigma_data": args.sigma_data,
             "teacher_checkpoint": args.checkpoint,
+            "skip_steps": args.skip_steps,
         },
     )
     trainer.train(args.n_epochs)

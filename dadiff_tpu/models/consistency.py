@@ -133,37 +133,45 @@ def make_cd_loss(
     *,
     sigma_data: float = 0.5,
     huber_c: Optional[float] = None,
+    skip_steps: int = 1,
 ):
-    """Consistency-distillation objective over adjacent chain pairs
-    (t, t-1), t ~ U{1, T-1}:
+    """Consistency-distillation objective over chain pairs (t, t-k),
+    t ~ U{k, T-1}, k = ``skip_steps`` (LCM's skipping-step, arXiv:2310.04378
+    — a larger teacher gap gives a stronger consistency signal per pair):
 
-        d( f_theta(x_t, t),  f_{theta^-}(x_hat_{t-1}, t-1) )
+        d( f_theta(x_t, t),  f_{theta^-}(x_hat_{t-k}, t-k) )
 
-    with x_hat_{t-1} one deterministic teacher DDIM step from x_t, theta^-
-    the EMA target (stop-gradient), d the pseudo-Huber metric
+    with x_hat_{t-k} ONE deterministic teacher DDIM step from x_t across the
+    gap, theta^- the EMA target (stop-gradient), d the pseudo-Huber metric
     sqrt(||.||^2 + c^2) - c (iCT §3.3; c scaled to the trajectory dim), and
-    the iCT weighting 1/(sigma_t - sigma_{t-1}).
+    the iCT weighting 1/(sigma_t - sigma_{t-k}).
 
     Returns ``loss(params, batch, rng, target_params)`` for
     make_train_step(loss_takes_ema=True) — the TrainState's EMA slot is the
     target network.
     """
     schedule = diffusion.schedule
+    if not 1 <= skip_steps < schedule.n_timesteps:
+        raise ValueError(
+            f"skip_steps must be in [1, {schedule.n_timesteps - 1}], "
+            f"got {skip_steps}"
+        )
     f = make_consistency_fn(diffusion, sigma_data)
     teacher_params = jax.device_put(teacher_params)
+    k = int(skip_steps)
 
     def loss(params, batch, rng, target_params):
         x0 = batch["conditions"]
         b = x0.shape[0]
         t_key, n_key = jax.random.split(rng)
-        t = jax.random.randint(t_key, (b,), 1, schedule.n_timesteps)
+        t = jax.random.randint(t_key, (b,), k, schedule.n_timesteps)
         noise = jax.random.normal(n_key, x0.shape)
         x_t = q_sample(schedule, x0, t, noise)
-        x_prev = teacher_ddim_step(diffusion, teacher_params, x_t, t, t - 1)
+        x_prev = teacher_ddim_step(diffusion, teacher_params, x_t, t, t - k)
 
         pred = f(params, x_t, t)
         target = jax.lax.stop_gradient(
-            f(target_params, x_prev, t - 1)
+            f(target_params, x_prev, t - k)
         )
 
         c = huber_c
@@ -171,7 +179,7 @@ def make_cd_loss(
             # iCT: c = 0.00054 * sqrt(data dim)
             c = 0.00054 * float(np.sqrt(np.prod(x0.shape[1:])))
         d = jnp.sqrt(jnp.sum((pred - target) ** 2, axis=(1, 2)) + c * c) - c
-        w = 1.0 / jnp.clip(sigma_of_t(schedule, t) - sigma_of_t(schedule, t - 1),
+        w = 1.0 / jnp.clip(sigma_of_t(schedule, t) - sigma_of_t(schedule, t - k),
                            1e-4)
         value = jnp.mean(w * d)
         return value, {"consistency": value}

@@ -220,3 +220,19 @@ def test_ondevice_evaluator_with_consistency_sampler(tiny):
     metrics, state = evaluator(params, jax.random.PRNGKey(8), stats, 8)
     assert 0.0 <= float(metrics.success_rate) <= 1.0
     assert np.isfinite(float(metrics.mean_reward))
+
+
+def test_cd_loss_skip_steps(tiny):
+    diffusion, teacher_params = tiny
+    loss_fn = make_cd_loss(diffusion, teacher_params, skip_steps=3)
+    batch = {"conditions": jax.random.uniform(
+        jax.random.PRNGKey(9), (8, H, D), minval=-1, maxval=1)}
+    val, metrics = loss_fn(
+        teacher_params, batch, jax.random.PRNGKey(10), teacher_params
+    )
+    assert np.isfinite(float(val))
+    with pytest.raises(ValueError, match="skip_steps"):
+        make_cd_loss(diffusion, teacher_params, skip_steps=0)
+    with pytest.raises(ValueError, match="skip_steps"):
+        make_cd_loss(diffusion, teacher_params,
+                     skip_steps=diffusion.n_timesteps)
