@@ -66,6 +66,10 @@ def main(argv=None):
     from dadiff_tpu.ops.projection import NormStats
 
     diffusion, params, dataset = load_model(args.checkpoint, args.dataset)
+    is_cm = bool(getattr(dataset, "checkpoint_config", {}).get("consistency"))
+    if is_cm and args.sampler != "consistency":
+        raise SystemExit("checkpoint is a consistency-distilled student; "
+                         "pass --sampler consistency")
     env = PointMazeJax(map_name=args.map, collision=args.collision)
     stats = NormStats.from_normalizer(dataset.normalizer)
 
