@@ -541,6 +541,10 @@ def distill_main(argv=None) -> str:
     p.add_argument("--num-workers", type=int, default=0)
     p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resume", action="store_true",
+                   help="auto-resume the student from the run dir's latest "
+                        "checkpoint (same semantics as train --resume: runs "
+                        "--n-epochs MORE epochs)")
     args = p.parse_args(argv)
 
     _select_device(args.device)
@@ -607,7 +611,14 @@ def distill_main(argv=None) -> str:
             "skip_steps": args.skip_steps,
         },
     )
-    trainer.train(args.n_epochs)
+    start_epoch = 0
+    if args.resume:
+        resumed_epoch = trainer.load_latest()
+        if resumed_epoch is not None:
+            start_epoch = resumed_epoch
+            print(f"auto-resumed at step {trainer.global_step} "
+                  f"(epoch {start_epoch})")
+    trainer.train(args.n_epochs, start_epoch=start_epoch)
     print(f"Distillation complete. Logs: {log_dir}")
     return str(log_dir)
 

@@ -509,6 +509,7 @@ def make_ondevice_locomotion_evaluator(
     action_horizon: int = 8,
     n_replans: int = 25,
     sampling_timesteps: Optional[int] = None,
+    sampler: str = "ddpm",
     jit: bool = True,
     mesh=None,
     batch_axis: str = "dp",
@@ -527,7 +528,8 @@ def make_ondevice_locomotion_evaluator(
     from dadiff_tpu.guides.sampling import conditions_for_initial_obs, make_sampler
 
     plan = make_sampler(
-        diffusion, sampling_timesteps=sampling_timesteps, jit=False
+        diffusion, sampling_timesteps=sampling_timesteps, sampler=sampler,
+        jit=False,
     )
     obs_dim = diffusion.observation_dim
     act_dim = diffusion.action_dim

@@ -38,6 +38,8 @@ def main(argv=None):
     p.add_argument("--n-replans", type=int, default=25)
     p.add_argument("--action-horizon", type=int, default=8)
     p.add_argument("--sampling-timesteps", type=int, default=None)
+    p.add_argument("--sampler", type=str, default="ddpm",
+                   choices=["ddpm", "ddim", "dpmpp", "consistency"])
     p.add_argument("--model-steps", type=int, default=3000,
                    help="dynamics-MLP training steps")
     p.add_argument("--seed", type=int, default=42)
@@ -61,6 +63,10 @@ def main(argv=None):
     from dadiff_tpu.ops.projection import NormStats
 
     diffusion, params, dataset = load_model(args.checkpoint, args.dataset)
+    is_cm = bool(getattr(dataset, "checkpoint_config", {}).get("consistency"))
+    if is_cm and args.sampler != "consistency":
+        raise SystemExit("checkpoint is a consistency-distilled student; "
+                         "pass --sampler consistency")
     stats = NormStats.from_normalizer(dataset.normalizer)
 
     episodes = load_episodes(args.dataset)
@@ -82,7 +88,7 @@ def main(argv=None):
     evaluate = make_ondevice_locomotion_evaluator(
         diffusion, model, mparams, mstats, reward_model_for(args.env),
         action_horizon=args.action_horizon, n_replans=args.n_replans,
-        sampling_timesteps=args.sampling_timesteps,
+        sampling_timesteps=args.sampling_timesteps, sampler=args.sampler,
     )
 
     rng = jax.random.PRNGKey(args.seed)
@@ -99,6 +105,7 @@ def main(argv=None):
     n_steps = args.n_replans * args.action_horizon
     result = {
         "env": args.env,
+        "sampler": args.sampler,
         "batch": args.batch,
         "env_steps_per_episode": n_steps,
         "model_based_mean_return": round(float(mean_ret), 2),
