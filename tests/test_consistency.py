@@ -202,6 +202,16 @@ def test_distill_main_end_to_end(tmp_path):
     assert traj.shape == (1, diffusion.horizon, diffusion.transition_dim)
     assert bool(jnp.all(jnp.isfinite(traj)))
 
+    # Guard: a CM student refuses non-consistency samplers at eval time
+    # (the student is no longer a DDPM denoiser; cli.py evaluate_main).
+    from dadiff_tpu.cli import evaluate_main
+    with pytest.raises(SystemExit, match="consistency-distilled"):
+        evaluate_main([
+            "--checkpoint", student_pt, "--dataset", ds,
+            "--env", "PointMaze_UMaze-v3", "--policy-type", "guided",
+            "--device", "cpu", "--n-episodes", "1",
+        ])
+
 
 def test_ondevice_evaluator_with_consistency_sampler(tiny):
     """The consistency student drives the fully on-device plan->step->replan
