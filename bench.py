@@ -105,11 +105,10 @@ def main():
     dt_bn = sustained(bn, k1=1, k2=4)
     batched_sample_sps = n_timesteps * batch / dt_bn
 
-    # guided sampler (conditioning path used by policies), single call
-    plan = make_sampler(diffusion)
+    # guided sampler (conditioning path used by policies), sustained
+    plan = make_sampler(diffusion, jit=False)
     cond = conditions_for_initial_obs(jnp.zeros(6), 6, 32, 8)
-    plan(params, jax.random.PRNGKey(0), cond).block_until_ready()
-    dt_guided = median_time(lambda i: plan(params, jax.random.PRNGKey(i), cond))
+    dt_guided = sustained(lambda p, r: plan(p, r, cond))
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     vs_baseline = None
@@ -131,7 +130,7 @@ def main():
         "chain_ms_on_device": round(dt_mega * 1e3, 3),
         "single_call_ms_incl_tunnel_rpc": round(dt_call * 1e3, 2),
         "xla_scan_steps_per_sec": round(n_timesteps / dt_xla, 1),
-        "guided_sampler_call_ms": round(dt_guided * 1e3, 2),
+        "guided_sampler_steps_per_sec": round(n_timesteps / dt_guided, 1),
         "batched_sample_steps_per_sec_b256": round(batched_sample_sps, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

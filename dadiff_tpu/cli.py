@@ -562,6 +562,14 @@ def distill_main(argv=None) -> str:
     diffusion, teacher_params, dataset = load_model(
         args.checkpoint, args.dataset, use_ema=args.teacher_ema
     )
+    if getattr(dataset, "checkpoint_config", {}).get("consistency"):
+        # Mirrors the eval-side guard: teacher_ddim_step through a
+        # consistency network would silently train on garbage targets.
+        raise SystemExit(
+            "checkpoint is already a consistency-distilled student "
+            "(config consistency=true); distill from the DDPM teacher "
+            "checkpoint instead"
+        )
     print(f"teacher: horizon={diffusion.horizon} T={diffusion.n_timesteps} "
           f"params={count_parameters(teacher_params):,} "
           f"device={jax.default_backend()}")
@@ -648,7 +656,9 @@ def build_eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, default=None,
                    help="dataset spec for the normalizer (defaults by env)")
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--sampling-timesteps", type=int, default=200)
+    p.add_argument("--sampling-timesteps", type=int, default=None,
+                   help="reverse-chain step budget (default: 200, or 4 "
+                        "model calls for --sampler consistency)")
     p.add_argument("--projection-schedule", type=str, default="noise_schedule",
                    choices=["constant", "linear", "quadratic", "noise_schedule"])
     p.add_argument("--projection-strength", type=float, default=1.0)
@@ -1091,17 +1101,20 @@ def evaluate_main(argv=None) -> dict:
               "as distilled — expect garbage unless this really is a "
               "consistency model")
 
+    # Default depends on the sampler: DDPM-chain scale vs model-call budget.
+    if args.sampling_timesteps is None:
+        args.sampling_timesteps = 4 if args.sampler == "consistency" else 200
+    elif args.sampler == "consistency" and args.sampling_timesteps > 16:
+        raise SystemExit(
+            f"--sampler consistency interprets --sampling-timesteps as the "
+            f"model-call budget (<= 16); got {args.sampling_timesteps}. "
+            f"Omit the flag for the default budget of 4."
+        )
     # Safe truncation (vs reference's raw overwrite, evaluate.py:350-353)
     sampling_timesteps = min(args.sampling_timesteps, diffusion.n_timesteps)
     if sampling_timesteps != args.sampling_timesteps:
         print(f"clamping sampling timesteps {args.sampling_timesteps} -> "
               f"{sampling_timesteps} (trained {diffusion.n_timesteps})")
-    if args.sampler == "consistency" and sampling_timesteps > 16:
-        # --sampling-timesteps defaults to the DDPM-chain scale; for the
-        # few-step sampler it is the model-call budget.
-        print(f"consistency sampler: interpreting --sampling-timesteps "
-              f"{sampling_timesteps} as default call budget 4")
-        sampling_timesteps = 4
 
     policy = build_policy_from_args(
         args, diffusion, params, dataset, dataset_spec, sampling_timesteps

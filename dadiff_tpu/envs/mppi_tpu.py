@@ -254,6 +254,232 @@ def collect_mppi_tpu_episodes(
     return collected
 
 
+def _inject_state(env, state: np.ndarray) -> np.ndarray:
+    """Set a MuJoCo env's simulator to a flat observation-layout state.
+
+    The qpos/qvel split is derived from the model's nq/nv with
+    excluded-leading-coordinate handling (locomotion envs drop the root x
+    from the observation; Hopper-class envs have odd state dims) — same
+    layout rule as dynamics/extractor.py::_set_state. Excluded coordinates
+    keep their current simulator values (dynamics are translation-invariant
+    in them). Returns the observation after injection.
+    """
+    unwrapped = env.unwrapped
+    unwrapped = getattr(unwrapped, "point_env", unwrapped)
+    mj_model = getattr(unwrapped, "model", None)
+    if mj_model is None or not hasattr(unwrapped, "set_state"):
+        raise NotImplementedError(
+            f"state injection needs a MuJoCo env with set_state; got "
+            f"{type(unwrapped).__name__}"
+        )
+    state = np.asarray(state, np.float64)
+    nq, nv = int(mj_model.nq), int(mj_model.nv)
+    excluded = nq + nv - state.shape[0]
+    if excluded < 0 or excluded > nq:
+        raise ValueError(
+            f"cannot map state dim {state.shape[0]} onto qpos({nq})/qvel({nv})"
+        )
+    qpos = np.array(unwrapped.data.qpos, np.float64)
+    qpos[excluded:] = state[: nq - excluded]
+    qvel = state[nq - excluded : nq - excluded + nv]
+    unwrapped.set_state(qpos, qvel)
+    return np.asarray(state, np.float32)
+
+
+def dagger_segment_starts(
+    visited_episodes: Sequence[dict],
+    *,
+    stride: int = 25,
+    skip_initial: int = 10,
+    max_segments: int = 400,
+    seed: int = 0,
+) -> np.ndarray:
+    """Subsample relabeling start states from recorded policy rollouts.
+
+    Takes every ``stride``-th visited observation (skipping the first
+    ``skip_initial`` steps, which env.reset already covers), pools across
+    episodes, and uniformly subsamples to ``max_segments`` so no single
+    long episode dominates the relabeled distribution.
+    """
+    starts = []
+    for ep in visited_episodes:
+        obs = np.asarray(ep["observations"], np.float32)
+        starts.extend(obs[skip_initial::stride])
+    if not starts:
+        raise ValueError("no visited states to relabel (episodes too short?)")
+    starts = np.stack(starts)
+    if len(starts) > max_segments:
+        idx = np.random.RandomState(seed).choice(
+            len(starts), max_segments, replace=False
+        )
+        starts = starts[np.sort(idx)]
+    return starts
+
+
+def dagger_relabel_episodes(
+    env_name: str,
+    visited_episodes: Sequence[dict],
+    pool_episodes: Sequence[dict],
+    *,
+    segment_len: int = 48,
+    stride: int = 25,
+    skip_initial: int = 10,
+    max_segments: int = 400,
+    batch_envs: int = 16,
+    horizon: int = 12,
+    n_samples: int = 1024,
+    lam: float = 0.3,
+    sigma: float = 0.4,
+    n_exec: int = 4,
+    sim_hidden: Tuple[int, ...] = (512, 512),
+    sim_steps: int = 12000,
+    sim_ensemble: int = 4,
+    seed: int = 0,
+    verbose: bool = True,
+) -> List[dict]:
+    """DAgger-style on-policy relabeling with the TPU-MPPI expert.
+
+    Round 2 closed every offline-scaling axis (data 2x, horizon 2x,
+    candidates 2x, capacity 4x — all flat) and diagnosed the locomotion
+    ceiling as the closed-loop gap between the offline data distribution
+    and the states the executed diffusion policy visits (RESULTS.md). This
+    targets that gap directly: start states are subsampled from the
+    *policy's own* recorded rollouts (``evaluate --save-episodes``),
+    injected into real MuJoCo envs (translation-invariant coordinates keep
+    their reset values), and the TPU-MPPI planner — on an ensemble
+    simulator refit on everything gathered so far, visited rollouts
+    included — rolls an expert segment of ``segment_len`` real env steps
+    from each. The segments are exactly the supervision DAgger prescribes:
+    expert behavior on the learner's visited distribution, as dynamically
+    consistent (obs, act, rew) windows the diffusion trainer consumes
+    unchanged.
+
+    No reference counterpart (the reference has no data-generation
+    capability at all, download_data.py:118-145). Returns the relabeled
+    segments as standard episode dicts.
+    """
+    import gymnasium as gym
+    import jax
+    import jax.numpy as jnp
+
+    from dadiff_tpu.envs.learned_model import (
+        make_ensemble_step_fn,
+        reward_model_for,
+        train_dynamics_ensemble,
+        train_dynamics_model,
+    )
+
+    starts = dagger_segment_starts(
+        visited_episodes,
+        stride=stride,
+        skip_initial=skip_initial,
+        max_segments=max_segments,
+        seed=seed,
+    )
+    if verbose:
+        print(
+            f"[dagger] {len(starts)} segment starts from "
+            f"{len(visited_episodes)} visited episodes",
+            flush=True,
+        )
+
+    # the simulator must cover the visited distribution: fit on pool +
+    # visited rollouts (both are real-env transitions)
+    sim_pool = list(pool_episodes) + list(visited_episodes)
+    if sim_ensemble > 1:
+        model, params, stats, metrics = train_dynamics_ensemble(
+            sim_pool, n_models=sim_ensemble, hidden=sim_hidden,
+            n_steps=sim_steps, seed=seed,
+        )
+        step_fn = make_ensemble_step_fn(model, params, stats, n_samples)
+    else:
+        model, params, stats, metrics = train_dynamics_model(
+            sim_pool, hidden=sim_hidden, n_steps=sim_steps, seed=seed,
+        )
+        step_fn = make_sim_step_fn(model, params, stats)
+    if verbose:
+        print(
+            f"[dagger] sim fit on {len(sim_pool)} episodes: one-step R^2 "
+            f"mean={metrics['r2_mean']:.3f} min={metrics['r2_min']:.3f}",
+            flush=True,
+        )
+
+    envs = [gym.make(env_name) for _ in range(batch_envs)]
+    act_dim = envs[0].action_space.shape[0]
+    plan = make_mppi_planner(
+        step_fn, reward_model_for(env_name), act_dim=act_dim,
+        horizon=horizon, n_samples=n_samples, lam=lam, sigma=sigma,
+        n_exec=n_exec,
+    )
+
+    B = len(envs)
+    next_start = 0
+    active = np.zeros(B, bool)
+    obs = np.zeros((B, starts.shape[1]), np.float32)
+    mean = np.zeros((B, horizon, act_dim), np.float32)
+    steps = np.zeros(B, int)
+    bufs = [None] * B
+    segments: List[dict] = []
+    key = jax.random.PRNGKey(seed)
+
+    def _start_segment(i):
+        nonlocal next_start
+        envs[i].reset(seed=seed * 1000 + next_start)
+        o = _inject_state(envs[i], starts[next_start])
+        next_start += 1
+        obs[i] = o
+        mean[i] = 0.0
+        steps[i] = 0
+        bufs[i] = {"obs": [o], "act": [], "rew": []}
+        active[i] = True
+
+    def _finish_segment(i):
+        seg = {
+            "observations": np.stack(bufs[i]["obs"]),
+            "actions": np.stack(bufs[i]["act"]),
+            "rewards": np.asarray(bufs[i]["rew"], np.float32),
+        }
+        segments.append(seg)
+        active[i] = False
+        if verbose and len(segments) % 50 == 0:
+            rets = [float(s["rewards"].sum()) for s in segments]
+            print(
+                f"[dagger] {len(segments)}/{len(starts)} segments, "
+                f"mean segment return {np.mean(rets):.1f}",
+                flush=True,
+            )
+
+    try:
+        for i in range(B):
+            if next_start < len(starts):
+                _start_segment(i)
+        while active.any():
+            key, sub = jax.random.split(key)
+            actions, mean_j = plan(sub, jnp.asarray(obs), jnp.asarray(mean))
+            actions = np.array(actions)
+            mean = np.array(mean_j)
+            for i in range(B):
+                if not active[i]:
+                    continue
+                for k in range(actions.shape[1]):
+                    a = actions[i, k].astype(np.float32)
+                    o, r, term, trunc, _ = envs[i].step(a)
+                    bufs[i]["obs"].append(np.asarray(o, np.float32))
+                    bufs[i]["act"].append(a)
+                    bufs[i]["rew"].append(float(r))
+                    obs[i] = o
+                    steps[i] += 1
+                    if term or trunc or steps[i] >= segment_len:
+                        _finish_segment(i)
+                        if next_start < len(starts):
+                            _start_segment(i)
+                        break
+    finally:
+        for e in envs:
+            e.close()
+    return segments
+
+
 def _collect_batch(
     envs,
     plan,

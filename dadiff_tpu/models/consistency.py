@@ -199,7 +199,11 @@ def consistency_noise_levels(
         raise ValueError(f"n_steps must be >= 1, got {n_steps}")
     levels = [n_timesteps - 1]
     for i in range(1, n_steps):
-        levels.append(int(round((n_timesteps - 1) * ((n_steps - i) / n_steps) ** rho)))
+        lvl = max(1, int(round((n_timesteps - 1) * ((n_steps - i) / n_steps) ** rho)))
+        # For small T / large N the polynomial grid can collide or hit t=0
+        # (where f is the identity): drop those calls rather than waste them.
+        if lvl < levels[-1]:
+            levels.append(lvl)
     return np.asarray(levels, np.int64)
 
 

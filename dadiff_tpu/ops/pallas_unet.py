@@ -158,25 +158,35 @@ def flatten_unet_params(unet: TemporalUnet, params, weight_dtype=jnp.bfloat16):
 # In-kernel building blocks (operate on VALUES, not refs)
 # ---------------------------------------------------------------------------
 
-def _shift_rows(x, s):
-    """y[h] = x[h-s] with zero padding (s>0 shifts content down)."""
+def _shift_rows(x, s, seg=None):
+    """y[h] = x[h-s] with zero padding (s>0 shifts content down).
+
+    With ``seg`` (rows per chain when several chains are row-stacked), the
+    zero padding applies PER SEGMENT: rows that would receive content from
+    the neighboring chain are zeroed instead — SAME-conv boundary semantics
+    for every chain independently.
+    """
     if s == 0:
         return x
     if x.dtype == jnp.bfloat16:
         # pltpu.roll on bf16 crashes the Mosaic compiler (observed on v5e);
         # shift in f32 and cast back — shifts are a tiny fraction of the work
-        return _shift_rows(x.astype(jnp.float32), s).astype(jnp.bfloat16)
+        return _shift_rows(x.astype(jnp.float32), s, seg).astype(jnp.bfloat16)
     H = x.shape[0]
+    L = H if seg is None else seg
     y = pltpu.roll(x, shift=s % H, axis=0)  # pltpu.roll wants shift >= 0
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    mask = idx >= s if s > 0 else idx < H + s
+    pos = idx if seg is None else idx % seg
+    mask = pos >= s if s > 0 else pos < L + s
     return jnp.where(mask, y, jnp.zeros_like(y))
 
 
-def _conv_stack(x, k):
+def _conv_stack(x, k, seg=None):
     """(H, C) -> (H, k*C) shifted stack so that stack @ W == k-tap SAME conv."""
     half = k // 2
-    return jnp.concatenate([_shift_rows(x, half - t) for t in range(k)], axis=1)
+    return jnp.concatenate(
+        [_shift_rows(x, half - t, seg) for t in range(k)], axis=1
+    )
 
 
 def _dot(a, b):
@@ -185,8 +195,13 @@ def _dot(a, b):
     )
 
 
-def _group_norm_mish(h, scale, bias, n_groups=8, eps=1e-5):
-    """GroupNorm over (H, group-channels) + Mish, all f32 (batch=1)."""
+def _group_norm_mish(h, scale, bias, n_groups=8, eps=1e-5, n_chains=1):
+    """GroupNorm over (H, group-channels) + Mish, all f32.
+
+    With ``n_chains > 1`` the rows hold several chains stacked (rows per
+    chain = H // n_chains) and the statistics are computed PER CHAIN via a
+    chain-selector matmul (no lane reshapes, stays on the MXU).
+    """
     H, C = h.shape
     cg = C // n_groups
     # group-selector one-hot (C, G) built from iota (no lane reshapes)
@@ -194,13 +209,33 @@ def _group_norm_mish(h, scale, bias, n_groups=8, eps=1e-5):
     gr = jax.lax.broadcasted_iota(jnp.int32, (C, n_groups), 1)
     G = (ch // cg == gr).astype(jnp.float32)
 
-    n = float(H * cg)
-    s = jnp.sum(_dot(h, G), axis=0, keepdims=True)          # (1, G)
-    s2 = jnp.sum(_dot(h * h, G), axis=0, keepdims=True)      # (1, G)
-    mean_g = s / n
-    var_g = s2 / n - mean_g * mean_g
-    mean_c = _dot(mean_g, G.T)                               # (1, C)
-    rstd_c = _dot(jax.lax.rsqrt(var_g + eps), G.T)
+    hG = _dot(h, G)            # (H, G) per-row group sums
+    h2G = _dot(h * h, G)
+    if n_chains == 1:
+        n = float(H * cg)
+        mean_g = jnp.sum(hG, axis=0, keepdims=True) / n      # (1, G)
+        var_g = jnp.sum(h2G, axis=0, keepdims=True) / n - mean_g * mean_g
+        mean_c = _dot(mean_g, G.T)                           # (1, C)
+        rstd_c = _dot(jax.lax.rsqrt(var_g + eps), G.T)
+    else:
+        seg = H // n_chains
+        n = float(seg * cg)
+        # chain-selector one-hot (H, N): row r belongs to chain r // seg
+        rr = jax.lax.broadcasted_iota(jnp.int32, (H, n_chains), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (H, n_chains), 1)
+        Csel = (rr // seg == cc).astype(jnp.float32)
+        sum_ng = jax.lax.dot_general(
+            Csel, hG, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # (N, G)
+        sum2_ng = jax.lax.dot_general(
+            Csel, h2G, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mean_ng = sum_ng / n
+        var_ng = sum2_ng / n - mean_ng * mean_ng
+        mean_c = _dot(_dot(Csel, mean_ng), G.T)              # (H, C)
+        rstd_c = _dot(_dot(Csel, jax.lax.rsqrt(var_ng + eps)), G.T)
     y = (h - mean_c) * rstd_c * scale + bias
     return y * jnp.tanh(jax.nn.softplus(y))
 

@@ -2,15 +2,16 @@
 """Round-2 perf probe: batch-1 denoise-chain variants on the real TPU.
 
 The batch-1 chain is weight-bandwidth-bound: ~16M params (~64MB f32) stream
-try:
-    import _path  # noqa: F401  (repo-checkout bootstrap)
-except ImportError:  # imported as scripts.<name>: root already on path
-    pass
 from HBM every step. Variants probe the two levers: stored-weight dtype
 (bf16 halves bytes/step) and scan unrolling (cross-step overlap).
 
 Usage: python scripts/perf_probe.py [--variants v1,v2,...]
 """
+
+try:
+    import _path  # noqa: F401  (repo-checkout bootstrap)
+except ImportError:  # imported as scripts.<name>: root already on path
+    pass
 
 import argparse
 import json
