@@ -46,6 +46,11 @@ def make_ondevice_evaluator(
     jit: bool = True,
     mesh=None,
     batch_axis: str = "dp",
+    use_megakernel: bool = False,
+    P=None,
+    stats: Optional[NormStats] = None,
+    mega_group_chains: int = 64,
+    mega_interpret: bool = False,
 ):
     """Build ``evaluate(params, rng, stats, batch_size, P=None) ->
     (RolloutMetrics, final_state)`` running ``n_replans`` plan->act cycles of
@@ -69,6 +74,37 @@ def make_ondevice_evaluator(
     shifted by ``action_horizon`` — to timestep K and denoise only t<K
     (guides/sampling.py warm-start semantics, fused on device).
     """
+    mega_plan = None
+    if use_megakernel:
+        # whole replan wave (all candidates, conditioning, per-step
+        # projection, best-of-N selection) through ONE pallas_call
+        # (ops/pallas_planner.py) instead of the XLA scan sampler
+        if sampler != "ddpm":
+            raise ValueError("--megakernel supports the ddpm sampler only")
+        if warm_start_t is not None:
+            raise ValueError("--megakernel does not compose with warm start")
+        if mesh is not None:
+            raise ValueError("--megakernel is the single-chip latency path")
+        if projection is not None and not projection.parity_mode and (
+            P is None or stats is None
+        ):
+            raise ValueError(
+                "megakernel projection needs P and stats at build time"
+            )
+        from dadiff_tpu.ops.pallas_planner import make_pallas_bo_sampler
+
+        mega_plan = make_pallas_bo_sampler(
+            diffusion,
+            projection_spec=projection,
+            P=P,
+            stats=stats,
+            n_candidates=n_candidates,
+            group_chains=mega_group_chains,
+            sampling_timesteps=sampling_timesteps,
+            interpret=mega_interpret,
+            weight_dtype=jnp.float32 if mega_interpret else jnp.bfloat16,
+        )
+
     plan = make_sampler(
         diffusion,
         projection=projection,
@@ -102,6 +138,9 @@ def make_ondevice_evaluator(
         batch_shard = batch_sharding(mesh, batch_axis)
 
     def evaluate(params, rng, stats: NormStats, batch_size: int, P=None):
+        mega_prepared = (
+            mega_plan.prepare(params) if mega_plan is not None else None
+        )
         rng, reset_key = jax.random.split(rng)
         state, obs = env.reset(reset_key, batch_size)
         if batch_shard is not None:
@@ -129,7 +168,14 @@ def make_ondevice_evaluator(
                         ],
                         axis=1,
                     )
-                if n_candidates > 1:
+                if mega_plan is not None:
+                    cond = conditions_for_initial_obs(
+                        normed_obs, obs_dim, horizon, trans_dim
+                    )
+                    traj = mega_plan(
+                        params, key, cond, prepared=mega_prepared
+                    )
+                elif n_candidates > 1:
                     tiled = jnp.repeat(normed_obs, n_candidates, axis=0)
                     cond = conditions_for_initial_obs(
                         tiled, obs_dim, horizon, trans_dim

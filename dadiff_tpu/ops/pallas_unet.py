@@ -255,20 +255,28 @@ def _interleave_rows(a, b):
 # The megakernel
 # ---------------------------------------------------------------------------
 
-def _unet_forward(x, m_emb, wrefs, ops, compute_dtype):
+def _unet_forward(x, m_emb, wrefs, ops, compute_dtype, n_chains=1):
     """Full U-Net forward inside the kernel. x: (H, D) f32; m_emb: (1, time_dim)
     (pre-Mish'd time embedding). wrefs: iterator over weight refs in
-    flatten_unet_params order."""
+    flatten_unet_params order.
+
+    ``n_chains > 1``: x holds several independent chains row-stacked
+    ((N*H, D)); convs/norms apply per chain (segment-masked shifts,
+    per-chain GroupNorm stats) so the result equals N separate forwards.
+    """
     it = iter(wrefs)
 
     def nxt():
         return next(it)[:]
 
+    def seg_of(h):
+        return h.shape[0] // n_chains if n_chains > 1 else None
+
     def conv_block(h, k):
         w, b, sc, bi = nxt(), nxt(), nxt(), nxt()
-        stack = _conv_stack(h.astype(compute_dtype), k)
+        stack = _conv_stack(h.astype(compute_dtype), k, seg_of(h))
         y = _dot(stack, w) + b
-        return _group_norm_mish(y, sc, bi)
+        return _group_norm_mish(y, sc, bi, n_chains=n_chains)
 
     def res_block(h, cin, cout, k):
         h_in = h
@@ -297,15 +305,16 @@ def _unet_forward(x, m_emb, wrefs, ops, compute_dtype):
             x = jnp.concatenate([x, skips.pop(op[1])], axis=1)
         elif kind == "down":
             w, b = nxt(), nxt()
-            stack = _conv_stack(x.astype(compute_dtype), 3)
+            stack = _conv_stack(x.astype(compute_dtype), 3, seg_of(x))
             x = _even_rows(_dot(stack, w) + b)
         elif kind == "up":
             w, b = nxt(), nxt()
             C = op[2]
             xc = x.astype(compute_dtype)
+            seg = seg_of(x)
             R = [w[t * C:(t + 1) * C] for t in range(4)]
-            even = _dot(xc, R[1]) + _dot(_shift_rows(xc, 1), R[3]) + b
-            odd = _dot(_shift_rows(xc, -1), R[0]) + _dot(xc, R[2]) + b
+            even = _dot(xc, R[1]) + _dot(_shift_rows(xc, 1, seg), R[3]) + b
+            odd = _dot(_shift_rows(xc, -1, seg), R[0]) + _dot(xc, R[2]) + b
             x = _interleave_rows(even, odd)
         elif kind == "res_plain":
             x = conv_block(x, k)

@@ -49,6 +49,15 @@ def main(argv=None):
                    choices=["disc", "axis"],
                    help="wall contact model: MuJoCo-like disc push-out "
                         "(default) or the harsher axis-freeze")
+    p.add_argument("--megakernel", action="store_true",
+                   help="run every replan wave (all candidates, "
+                        "conditioning, per-step projection, best-of-N "
+                        "selection) through the single-pallas_call batched "
+                        "planning kernel (ops/pallas_planner.py) instead of "
+                        "the XLA scan sampler")
+    p.add_argument("--mega-group-chains", type=int, default=64,
+                   help="chains row-stacked per megakernel grid group "
+                        "(VMEM activation budget knob)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
     args = p.parse_args(argv)
@@ -110,6 +119,10 @@ def main(argv=None):
         n_candidates=args.n_candidates,
         warm_start_t=args.warm_start_t,
         sampler=args.sampler,
+        use_megakernel=args.megakernel,
+        P=P,
+        stats=stats,
+        mega_group_chains=args.mega_group_chains,
     )
 
     # compile
@@ -129,6 +142,7 @@ def main(argv=None):
     episodes_per_hour = args.batch / run_s * 3600
     out = {
         "mode": "on-device plan->step->replan",
+        "megakernel": bool(args.megakernel),
         "projection": bool(args.projection),
         "wall_aware": bool(args.wall_aware),
         "n_candidates": args.n_candidates,

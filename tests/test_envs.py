@@ -169,6 +169,36 @@ def test_ondevice_evaluator_runs(env):
     assert int(state.t[0]) == 12  # 3 replans x 4 steps
 
 
+def test_ondevice_evaluator_megakernel_matches_shapes(env):
+    """The megakernel replan path runs inside the fused loop (interpret
+    mode on CPU) with projection + best-of-N and produces sane metrics."""
+    from dadiff_tpu.dynamics.projection import ProjectionMatrixBuilder
+    from dadiff_tpu.dynamics.extractor import double_integrator_dynamics
+    from dadiff_tpu.guides.sampling import ProjectionSpec
+
+    unet = TemporalUnet(transition_dim=8, dim=8, dim_mults=(1, 2))
+    d = GaussianDiffusion(
+        model=unet, horizon=8, observation_dim=6, action_dim=2, n_timesteps=5
+    )
+    params = d.init_params(jax.random.PRNGKey(0))
+    stats = NormStats.identity(6, 2)
+    A, B = double_integrator_dynamics(dt=0.1)
+    sd, ad = 4, 2
+    P = jnp.asarray(
+        ProjectionMatrixBuilder(A, B, sd, ad).get_projection_matrix(8)
+    )
+    spec = ProjectionSpec(state_dim=sd)
+    evaluator = make_ondevice_evaluator(
+        d, env, action_horizon=4, n_replans=2, n_candidates=2,
+        projection=spec, use_megakernel=True, P=P, stats=stats,
+        mega_group_chains=4, mega_interpret=True,
+    )
+    metrics, state = evaluator(params, jax.random.PRNGKey(1), stats, 4, P)
+    assert 0.0 <= float(metrics.success_rate) <= 1.0
+    assert np.isfinite(float(metrics.mean_reward))
+    assert int(state.t[0]) == 8
+
+
 class _ScriptedEnv:
     """Tiny host-env stub for evaluate_policy protocol tests."""
 
