@@ -181,6 +181,18 @@ class GuidedPolicy:
         self.inverse_dynamics = inverse_dynamics
 
         self._rng = jax.random.PRNGKey(seed)
+        # full sampler build config, exposed so the micro-batching server
+        # (dadiff_tpu/serving.py) can rebuild/vmap the identical sampler
+        self._sampler_config = dict(
+            diffusion=diffusion,
+            guide_fn=guide_fn,
+            guide_weight=guide_weight,
+            projection=projection,
+            sampling_timesteps=sampling_timesteps,
+            sampler=sampler,
+            ddim_eta=ddim_eta,
+            warm_start_from=warm_start_t,
+        )
         self._plan = make_sampler(
             diffusion,
             guide_fn=guide_fn,

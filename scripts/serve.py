@@ -47,6 +47,17 @@ def build_server_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=7033)
     p.add_argument("--max-requests", type=int, default=None,
                    help="exit after N requests (testing/batch jobs)")
+    p.add_argument("--concurrency", type=int, default=1,
+                   help="max concurrent client connections; > 1 enables "
+                        "micro-batching: plan requests arriving within "
+                        "--batch-window-ms fold into ONE batched TPU call "
+                        "(dadiff_tpu/serving.py), bit-identical to solo "
+                        "serving")
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="how long the batcher waits to fold concurrent "
+                        "plan requests into one call")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="max plan requests folded into one batched call")
     return p
 
 
@@ -94,38 +105,99 @@ def make_handler(policy):
     return handle
 
 
-def serve(policy, host: str, port: int, max_requests=None, ready_cb=None):
-    """Accept loop: one client at a time, one JSON line per request."""
-    handle = make_handler(policy)
+def _serve_connection(conn, handle, counter, max_requests):
+    with conn, conn.makefile("rwb") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                resp = handle(json.loads(line))
+            except Exception as e:  # malformed request; keep serving
+                resp = {"error": f"{type(e).__name__}: {e}"}
+            f.write((json.dumps(resp) + "\n").encode())
+            f.flush()
+            if counter.bump() and max_requests is not None:
+                return
+
+
+class _Counter:
+    def __init__(self, limit):
+        import threading
+
+        self.limit = limit
+        self.n = 0
+        self._lock = threading.Lock()
+
+    def bump(self) -> bool:
+        """Increment; True when the limit is reached."""
+        with self._lock:
+            self.n += 1
+            return self.limit is not None and self.n >= self.limit
+
+    def done(self) -> bool:
+        with self._lock:
+            return self.limit is not None and self.n >= self.limit
+
+
+def serve(policy, host: str, port: int, max_requests=None, ready_cb=None,
+          concurrency: int = 1, window_ms: float = 5.0, max_batch: int = 8):
+    """Accept loop. ``concurrency == 1``: one client at a time (round-2
+    behavior). ``concurrency > 1``: each connection gets its own policy
+    session (independent RNG stream / action buffer) and concurrent replans
+    micro-batch into one TPU call (dadiff_tpu/serving.py)."""
+    import threading
+
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, port))
-    srv.listen(1)
+    srv.listen(max(1, concurrency))
     bound_port = srv.getsockname()[1]
-    print(f"serving on {host}:{bound_port}", flush=True)
+    print(f"serving on {host}:{bound_port} (concurrency={concurrency})",
+          flush=True)
     if ready_cb is not None:
         ready_cb(bound_port)
-    served = 0
+    counter = _Counter(max_requests)
+
+    batcher = None
+    if concurrency > 1:
+        from dadiff_tpu.serving import BatchedPlanner
+
+        batcher = BatchedPlanner(
+            policy, max_batch=max_batch, window_ms=window_ms
+        )
+
+    srv.settimeout(0.2)
+    threads = []
+    next_session = 0
     try:
-        while max_requests is None or served < max_requests:
-            conn, addr = srv.accept()
-            with conn, conn.makefile("rwb") as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        resp = handle(json.loads(line))
-                    except Exception as e:  # malformed request; keep serving
-                        resp = {"error": f"{type(e).__name__}: {e}"}
-                    f.write((json.dumps(resp) + "\n").encode())
-                    f.flush()
-                    served += 1
-                    if max_requests is not None and served >= max_requests:
-                        break
+        while not counter.done():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                threads = [t for t in threads if t.is_alive()]
+                continue
+            if concurrency <= 1:
+                handle = make_handler(policy)
+                _serve_connection(conn, handle, counter, max_requests)
+            else:
+                session = batcher.session(seed=next_session)
+                next_session += 1
+                handle = make_handler(session)
+                t = threading.Thread(
+                    target=_serve_connection,
+                    args=(conn, handle, counter, max_requests),
+                    daemon=True,
+                )
+                t.start()
+                threads.append(t)
     finally:
+        for t in threads:
+            t.join(timeout=5.0)
+        if batcher is not None:
+            batcher.close()
         srv.close()
-    return served
+    return counter.n
 
 
 def main(argv=None):
@@ -146,11 +218,15 @@ def main(argv=None):
     diffusion, params, dataset = load_model(
         args.checkpoint, dataset_spec, use_ema=args.use_ema
     )
+    if args.sampling_timesteps is None:
+        args.sampling_timesteps = 4 if args.sampler == "consistency" else 200
     sampling_timesteps = min(args.sampling_timesteps, diffusion.n_timesteps)
     policy = build_policy_from_args(
         args, diffusion, params, dataset, dataset_spec, sampling_timesteps
     )
-    serve(policy, args.host, args.port, max_requests=args.max_requests)
+    serve(policy, args.host, args.port, max_requests=args.max_requests,
+          concurrency=args.concurrency, window_ms=args.batch_window_ms,
+          max_batch=args.max_batch)
 
 
 if __name__ == "__main__":
