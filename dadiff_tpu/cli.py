@@ -545,6 +545,18 @@ def distill_main(argv=None) -> str:
                    help="auto-resume the student from the run dir's latest "
                         "checkpoint (same semantics as train --resume: runs "
                         "--n-epochs MORE epochs)")
+    p.add_argument("--method", type=str, default="consistency",
+                   choices=["consistency", "progressive"],
+                   help="consistency = 1-4-call CM student "
+                        "(models/consistency.py); progressive = "
+                        "Salimans-Ho step-halving rounds "
+                        "(models/progressive.py) — the student stays a "
+                        "standard eps-model evaluated with --sampler ddim "
+                        "--sampling-timesteps <target-steps>")
+    p.add_argument("--target-steps", type=int, default=6,
+                   help="progressive: final model-call budget (halving "
+                        "rounds T/2 -> ... -> target; --n-epochs applies "
+                        "PER ROUND)")
     args = p.parse_args(argv)
 
     _select_device(args.device)
@@ -581,9 +593,54 @@ def distill_main(argv=None) -> str:
 
     safe_ds = args.dataset.replace("/", "_").replace(":", "_")
     log_dir = Path(args.log_dir) / safe_ds
-    log_dir = log_dir / (args.run_name or "consistency")
+    log_dir = log_dir / (args.run_name or args.method)
     log_dir.mkdir(parents=True, exist_ok=True)
     save_config(vars(args), str(log_dir / "config.json"))
+
+    if args.method == "progressive":
+        from dadiff_tpu.models.progressive import (
+            make_pd_loss,
+            pd_round_schedule,
+        )
+
+        rounds = pd_round_schedule(diffusion.n_timesteps, args.target_steps)
+        print(f"progressive rounds (steps): {rounds}")
+        current_teacher = teacher_params
+        for r, steps in enumerate(rounds):
+            round_dir = log_dir / f"round_{r}_steps{steps}"
+            round_dir.mkdir(parents=True, exist_ok=True)
+            loss_fn = make_pd_loss(diffusion, current_teacher, steps)
+            student_params = jax.tree_util.tree_map(jnp.copy, current_teacher)
+            trainer = Trainer(
+                diffusion,
+                loader,
+                loss_fn,
+                params=student_params,
+                lr=args.lr,
+                warmup_steps=args.warmup_steps,
+                total_steps=args.n_epochs * len(loader),
+                gradient_clip=args.gradient_clip,
+                use_ema=False,
+                log_dir=str(round_dir),
+                save_freq=args.save_freq,
+                eval_freq=0,
+                loss_names=["progressive"],
+                seed=args.seed + r,
+                normalizer=dataset.normalizer,
+                extra_config={
+                    "progressive": True,
+                    "progressive_steps": int(steps),
+                    "teacher_checkpoint": args.checkpoint,
+                },
+            )
+            print(f"[pd round {r}] distilling to {steps} steps "
+                  f"({args.n_epochs} epochs)...")
+            trainer.train(args.n_epochs)
+            current_teacher = trainer.state.params
+        print(f"Progressive distillation complete ({rounds[-1]}-step "
+              f"student). Evaluate with --sampler ddim "
+              f"--sampling-timesteps {rounds[-1]}. Logs: {log_dir}")
+        return str(log_dir)
 
     loss_fn = make_cd_loss(
         diffusion, teacher_params,
@@ -714,6 +771,12 @@ def build_eval_parser() -> argparse.ArgumentParser:
                         "previous plan (shifted by the executed steps) to "
                         "this timestep and denoise only t<K — ~T/K fewer "
                         "model calls per replan after the first")
+    p.add_argument("--warm-start-auto", action="store_true",
+                   help="adaptive warm-start depth: pick each replan's "
+                        "re-noise depth from the measured drift between the "
+                        "executed observation and the previous plan (full "
+                        "chain when the drift is too large to re-noise "
+                        "over) — no per-task K tuning")
     p.add_argument("--replan-deviation", type=float, default=None,
                    help="replan early when the executed observation drifts "
                         "more than this L2 distance (normalized space) from "
@@ -964,6 +1027,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
             warm_start_t=args.warm_start_t,
+            warm_start_auto=args.warm_start_auto,
             replan_deviation=args.replan_deviation,
         )
     elif args.policy_type == "mpc":
@@ -976,6 +1040,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
             warm_start_t=args.warm_start_t,
+            warm_start_auto=args.warm_start_auto,
             replan_deviation=args.replan_deviation,
         )
     elif args.policy_type == "value-guided":
@@ -999,6 +1064,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
             warm_start_t=args.warm_start_t,
+            warm_start_auto=args.warm_start_auto,
             replan_deviation=args.replan_deviation,
         )
     else:  # dynamics-aware (reference evaluate.py:362-404)
@@ -1059,6 +1125,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
             warm_start_t=args.warm_start_t,
+            warm_start_auto=args.warm_start_auto,
             replan_deviation=args.replan_deviation,
             guide_fn=guide_fn,
             guide_weight=guide_weight,

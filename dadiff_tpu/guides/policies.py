@@ -150,6 +150,8 @@ class GuidedPolicy:
         ddim_eta: float = 0.0,
         inverse_dynamics: Optional[Callable] = None,
         warm_start_t: Optional[int] = None,
+        warm_start_auto: bool = False,
+        warm_auto_scale: float = 4.0,
         replan_deviation: Optional[float] = None,
     ):
         self.diffusion = diffusion
@@ -222,6 +224,26 @@ class GuidedPolicy:
             if warm_start_t is not None
             else None
         )
+        # Adaptive warm depth (no flag to tune per task): pick the replan's
+        # re-noise depth K from the MEASURED drift between the executed
+        # observation and the plan row it should be on. Principle: the
+        # q_sample re-noise must inject at least as much per-dim noise as
+        # the observed per-dim drift, or the shallow chain anchors to a
+        # stale plan it cannot correct — pick the smallest K (grid of 10)
+        # with sqrt(1 - alphas_cumprod[K-1]) >= warm_auto_scale * drift /
+        # sqrt(obs_dim), falling back to the full chain when even K=T
+        # cannot cover the drift (exactly the regime where round 2 measured
+        # warm start collapsing: RESULTS.md locomotion caveat).
+        if warm_start_auto and warm_start_t is not None:
+            raise ValueError("pass either warm_start_t or warm_start_auto")
+        self.warm_start_auto = warm_start_auto
+        self.warm_auto_scale = float(warm_auto_scale)
+        self._warm_sigmas = np.sqrt(
+            1.0 - np.asarray(diffusion.schedule.alphas_cumprod)
+        )
+        self._warm_cache: dict = {}
+        self._warm_enabled = warm_start_t is not None or warm_start_auto
+        self.last_warm_k: Optional[int] = None  # introspection/telemetry
         self._last_plan: Optional[np.ndarray] = None  # normalized (1, H, D)
         self._actions_taken = 0  # env steps executed since _last_plan
         # Deviation-triggered replanning (standard MPC practice; no reference
@@ -278,10 +300,19 @@ class GuidedPolicy:
         )
         self._rng, key = jax.random.split(self._rng)
         x_init = self._warm_init()
+        warm_fn = self._plan_warm
+        self.last_warm_k = self.warm_start_t if x_init is not None else None
+        if x_init is not None and self.warm_start_auto:
+            k = self._auto_warm_k(normed_obs)
+            self.last_warm_k = k
+            if k is None:
+                x_init = None  # drift too large: full chain
+            else:
+                warm_fn = self._auto_warm_sampler(k)
         if x_init is not None:
             # all candidates re-noise the same shifted plan; diversity comes
             # from the per-candidate q_sample noise
-            trajs = self._plan_warm(
+            trajs = warm_fn(
                 self.params, key, conditions, self._P, self._stats,
                 x_init=x_init,
             )
@@ -291,16 +322,36 @@ class GuidedPolicy:
             scores = self.candidate_scorer(trajs, jnp.asarray(normed_obs[0]))
             trajs = trajs[jnp.argmin(scores)][None]
         trajs = np.asarray(trajs)
-        if self.warm_start_t is not None:
+        if self._warm_enabled:
             self._last_plan = trajs
             self._actions_taken = 0
         return trajs
+
+    def _auto_warm_k(self, normed_obs) -> Optional[int]:
+        """Drift-matched warm depth (grid of 10), or None for the full
+        chain. See the __init__ comment for the rule."""
+        shift = min(self._actions_taken, self.horizon - 1)
+        row = self._last_plan[0][shift, : self.observation_dim]
+        drift = float(np.linalg.norm(np.ravel(normed_obs) - row))
+        target = self.warm_auto_scale * drift / np.sqrt(self.observation_dim)
+        T = len(self._warm_sigmas)
+        for k in range(10, T, 10):
+            if self._warm_sigmas[k - 1] >= target:
+                return k
+        return None
+
+    def _auto_warm_sampler(self, k: int):
+        if k not in self._warm_cache:
+            cfg = dict(self._sampler_config)
+            cfg["warm_start_from"] = k
+            self._warm_cache[k] = make_sampler(**cfg)
+        return self._warm_cache[k]
 
     def _warm_init(self) -> Optional[np.ndarray]:
         """Previous plan shifted by the executed steps (tail-padded with its
         last row), or None when warm start is off / unusable (first replan of
         an episode, or the plan is fully stale)."""
-        if self._plan_warm is None or self._last_plan is None:
+        if not self._warm_enabled or self._last_plan is None:
             return None
         shift = self._actions_taken
         if shift >= self.horizon:

@@ -69,7 +69,8 @@ class BatchedPlanner:
                 "policy does not expose _sampler_config; construct it via "
                 "guides/policies.GuidedPolicy (or subclasses)"
             )
-        if cfg.get("warm_start_from"):
+        if cfg.get("warm_start_from") or getattr(policy, "warm_start_auto",
+                                                 False):
             raise ValueError(
                 "micro-batching does not compose with warm-start replanning "
                 "(per-client x_init lanes); serve warm-start policies "

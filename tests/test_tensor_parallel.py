@@ -206,3 +206,102 @@ def test_batched_planner_composes_with_tp():
         out.block_until_ready()
     assert "dp" in (out.sharding.spec or ())
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Collective-structure assertions (VERDICT r2 #6): loss-is-finite is not
+# enough — assert the compiled HLO contains the EXPECTED collectives and no
+# pathological full-weight gathers.
+# ---------------------------------------------------------------------------
+
+from dadiff_tpu.parallel.comm_analysis import (  # noqa: E402
+    collective_summary,
+    weight_gather_violations,
+)
+
+
+def _compile_sharded_forward(axes, act_spec, dim=32, mults=(1, 2)):
+    x, t = _data()
+    unet = _unet(act_spec=act_spec, dim=dim, mults=mults)
+    params = unet.init(jax.random.PRNGKey(0), x, t)["params"]
+    mesh = make_mesh(axes)
+    sharded = (
+        shard_params_tp(params, mesh, tp_axis="tp")
+        if "tp" in axes
+        else jax.device_put(params, NamedSharding(mesh, P()))
+    )
+    with jax.set_mesh(mesh):
+        fwd = jax.jit(lambda p, x, t: unet.apply({"params": p}, x, t))
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        ts = jax.device_put(t, NamedSharding(mesh, P("dp")))
+        compiled = fwd.lower(sharded, xs, ts).compile()
+    return compiled, params
+
+
+def test_tp_forward_collective_structure():
+    compiled, params = _compile_sharded_forward(
+        {"dp": 4, "tp": 2}, ("dp", None, "tp")
+    )
+    summary = collective_summary(compiled)
+    # tp contractions (channel-sharded convs feeding replicated/resharded
+    # consumers) must psum: all-reduce present
+    assert summary.get("all-reduce", {}).get("count", 0) >= 1, summary
+    # and the sharding must not undo itself by gathering whole kernels
+    assert weight_gather_violations(summary, params) == [], summary
+
+
+def test_sp_forward_collective_structure():
+    compiled, params = _compile_sharded_forward(
+        {"dp": 4, "sp": 2}, ("dp", "sp", None)
+    )
+    summary = collective_summary(compiled)
+    # horizon-sharded 1-D convs need halo exchange: collective-permute
+    # (GSPMD may lower small halos as all-gathers of boundary slices —
+    # accept either, but SOMETHING must move sequence boundaries)
+    moved = (
+        summary.get("collective-permute", {}).get("count", 0)
+        + summary.get("all-gather", {}).get("count", 0)
+    )
+    assert moved >= 1, summary
+    assert weight_gather_violations(summary, params) == [], summary
+
+
+def test_tp_train_step_collective_structure():
+    """The tp-sharded TRAIN step: grads of channel-sharded kernels stay
+    sharded (no full-weight gathers), dp grad reduction psums."""
+    import optax
+
+    from dadiff_tpu.losses import build_loss
+
+    unet = _unet(act_spec=("dp", None, "tp"))
+    diff = GaussianDiffusion(
+        model=unet, horizon=16, observation_dim=6, action_dim=2, n_timesteps=10
+    )
+    params = diff.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    sharded = shard_params_tp(params, mesh, tp_axis="tp")
+    batch = {
+        "conditions": jnp.asarray(
+            np.random.RandomState(1).randn(8, 16, 8), jnp.float32
+        )
+    }
+    loss_fn, _ = build_loss(diff)
+
+    def step(p, batch, rng):
+        (val, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, batch, rng
+        )
+        return val, jax.tree_util.tree_map(
+            lambda a, g: a - 1e-3 * g, p, grads
+        )
+
+    with jax.set_mesh(mesh):
+        xb = jax.device_put(
+            batch, NamedSharding(mesh, P("dp"))
+        )
+        compiled = (
+            jax.jit(step).lower(sharded, xb, jax.random.PRNGKey(2)).compile()
+        )
+    summary = collective_summary(compiled)
+    assert summary.get("all-reduce", {}).get("count", 0) >= 1, summary
+    assert weight_gather_violations(summary, params) == [], summary

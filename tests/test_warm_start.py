@@ -206,3 +206,56 @@ def test_batched_eval_accepts_warm_start(diffusion, params):
         seed=0, verbose=False,
     )
     assert "success_rate" in metrics
+
+
+def test_policy_auto_warm_depth(diffusion, params):
+    """--warm-start-auto: the re-noise depth tracks the measured drift —
+    small drift -> shallow K, huge drift -> full chain (K=None)."""
+    policy = MPCPolicy(
+        diffusion,
+        _IdentityNormalizer(),
+        params=params,
+        action_horizon=3,
+        warm_start_auto=True,
+        skip_conditioned_action=True,
+    )
+    obs = np.zeros(6, np.float32)
+    policy.get_action(obs)  # first replan: full chain
+    assert policy.last_warm_k is None
+    policy.get_action(obs)
+    policy.get_action(obs)
+
+    # drift exactly matching the plan row -> smallest depth on the grid
+    row = np.asarray(policy._last_plan[0][3, :6], np.float32)
+    k_small = policy._auto_warm_k(row.reshape(1, -1))
+    assert k_small == 10
+
+    # massive drift -> None (full chain): sqrt(1-acp) can never cover it
+    k_full = policy._auto_warm_k((row + 100.0).reshape(1, -1))
+    assert k_full is None
+
+    # depth is monotone in drift (T=100 grid so mid levels exist)
+    from dadiff_tpu.ops.schedules import make_schedule
+
+    policy._warm_sigmas = np.sqrt(
+        1.0 - np.asarray(make_schedule(100, "cosine").alphas_cumprod)
+    )
+    ks = []
+    for delta in (0.02, 0.12, 0.2):
+        k = policy._auto_warm_k((row + delta).reshape(1, -1))
+        assert k is not None
+        ks.append(k)
+    assert ks[0] < ks[1] < ks[2]
+
+    # end-to-end: the replan path runs and records the chosen depth
+    a = policy.get_action(obs + 0.05)
+    assert a.shape == (2,)
+    assert policy.last_warm_k is None or policy.last_warm_k >= 10
+
+
+def test_auto_warm_rejects_fixed_k(diffusion, params):
+    with pytest.raises(ValueError, match="either"):
+        MPCPolicy(
+            diffusion, _IdentityNormalizer(), params=params,
+            warm_start_t=4, warm_start_auto=True,
+        )
