@@ -777,6 +777,14 @@ def build_eval_parser() -> argparse.ArgumentParser:
                         "executed observation and the previous plan (full "
                         "chain when the drift is too large to re-noise "
                         "over) — no per-task K tuning")
+    p.add_argument("--megakernel", action="store_true",
+                   help="run each replan wave (all candidates, "
+                        "conditioning, per-step projection, best-of-N "
+                        "selection) through ONE pallas_call "
+                        "(ops/pallas_planner.py) instead of the XLA scan "
+                        "sampler (ddpm only)")
+    p.add_argument("--mega-group-chains", type=int, default=64,
+                   help="chains row-stacked per megakernel grid group")
     p.add_argument("--replan-deviation", type=float, default=None,
                    help="replan early when the executed observation drifts "
                         "more than this L2 distance (normalized space) from "
@@ -1130,6 +1138,15 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             guide_fn=guide_fn,
             guide_weight=guide_weight,
         )
+    if getattr(args, "megakernel", False):
+        from dadiff_tpu.ops.pallas_planner import wire_policy_megakernel
+
+        wire_policy_megakernel(
+            policy, n_candidates=args.n_candidates,
+            group_chains=getattr(args, "mega_group_chains", 64),
+        )
+        print(f"megakernel planning path: bo{args.n_candidates} per replan "
+              f"wave through one pallas_call")
     return policy
 
 

@@ -85,6 +85,8 @@ def evaluate_policy_batched(
 
     n_cand = max(1, getattr(policy, "n_candidates", 1))
     warm_plan = getattr(policy, "_plan_warm", None)
+    warm_auto = bool(getattr(policy, "warm_start_auto", False))
+    use_warm = warm_plan is not None or warm_auto
     prev_trajs = None  # (N, H, D) last selected plans, for warm-start replans
     prev_shift = 0  # env steps executed since prev_trajs were planned
 
@@ -100,14 +102,32 @@ def evaluate_policy_batched(
         # previous wave's plans, shifted by the steps executed since, and
         # denoise only the short suffix chain.
         x_init = None
-        if warm_plan is not None and prev_trajs is not None \
-                and prev_shift < horizon:
+        plan_fn = policy._plan
+        if use_warm and prev_trajs is not None and prev_shift < horizon:
             x_init = np.concatenate(
                 [prev_trajs[:, prev_shift:],
                  np.repeat(prev_trajs[:, -1:], prev_shift, axis=1)],
                 axis=1,
             ) if prev_shift > 0 else prev_trajs
-        plan_fn = policy._plan if x_init is None else warm_plan
+            if warm_auto:
+                # wave-level adaptive depth: lockstep envs share one K per
+                # wave, picked from the 90th-percentile drift across live
+                # envs (the conservative envs set the depth: under-noising
+                # anchors to stale plans, over-noising just costs calls)
+                shift_row = min(prev_shift, horizon - 1)
+                drifts = np.linalg.norm(
+                    normed - prev_trajs[:, shift_row, :obs_dim], axis=-1
+                )
+                live = ~done
+                d90 = float(np.percentile(drifts[live], 90)) if live.any() \
+                    else 0.0
+                k = policy._k_from_drift(d90)
+                if k is None:
+                    x_init = None  # drift too large: full chain this wave
+                else:
+                    plan_fn = policy._auto_warm_sampler(k)
+            else:
+                plan_fn = warm_plan
 
         if n_cand > 1:
             # best-of-N per env: (N*K) plans in one call, best per env kept
@@ -136,7 +156,7 @@ def evaluate_policy_batched(
             trajs = np.asarray(
                 plan_fn(policy.params, key, cond, policy._P, policy._stats, **kw)
             )  # (N, H, D)
-        if warm_plan is not None:
+        if use_warm:
             prev_trajs = trajs
         if policy.inverse_dynamics is not None:
             # Decision-Diffuser-style: actions from consecutive planned

@@ -327,18 +327,21 @@ class GuidedPolicy:
             self._actions_taken = 0
         return trajs
 
-    def _auto_warm_k(self, normed_obs) -> Optional[int]:
+    def _k_from_drift(self, drift: float) -> Optional[int]:
         """Drift-matched warm depth (grid of 10), or None for the full
         chain. See the __init__ comment for the rule."""
-        shift = min(self._actions_taken, self.horizon - 1)
-        row = self._last_plan[0][shift, : self.observation_dim]
-        drift = float(np.linalg.norm(np.ravel(normed_obs) - row))
         target = self.warm_auto_scale * drift / np.sqrt(self.observation_dim)
         T = len(self._warm_sigmas)
         for k in range(10, T, 10):
             if self._warm_sigmas[k - 1] >= target:
                 return k
         return None
+
+    def _auto_warm_k(self, normed_obs) -> Optional[int]:
+        shift = min(self._actions_taken, self.horizon - 1)
+        row = self._last_plan[0][shift, : self.observation_dim]
+        drift = float(np.linalg.norm(np.ravel(normed_obs) - row))
+        return self._k_from_drift(drift)
 
     def _auto_warm_sampler(self, k: int):
         if k not in self._warm_cache:

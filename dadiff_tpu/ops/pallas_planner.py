@@ -434,3 +434,49 @@ def make_pallas_bo_sampler(
     plan.uses_projection = use_projection
     plan.prepare = _prepare
     return plan
+
+
+def wire_policy_megakernel(policy, *, n_candidates: int,
+                           group_chains: int = 64):
+    """Route a constructed policy's replans through the batched planning
+    megakernel: one pallas_call per replan wave (all candidates,
+    conditioning, per-step projection, best-of-N selection in-kernel
+    semantics). The policy keeps its host logic (buffers, deviation
+    replanning, observation processing) — only the sampler call is
+    replaced, and candidate selection moves inside the megakernel path, so
+    ``policy.n_candidates`` becomes 1.
+
+    Host-protocol quality numbers through this wiring are directly
+    comparable to the XLA-sampler headlines (same scorer semantics).
+    """
+    cfg = getattr(policy, "_sampler_config", None)
+    if cfg is None:
+        raise ValueError("policy lacks _sampler_config")
+    if cfg.get("sampler") != "ddpm":
+        raise ValueError("megakernel supports the ddpm sampler only")
+    if cfg.get("guide_fn") is not None and cfg.get("guide_weight"):
+        raise ValueError("megakernel does not support gradient guidance")
+    if cfg.get("warm_start_from") or getattr(policy, "warm_start_auto", False):
+        raise ValueError("megakernel does not compose with warm start")
+
+    mega = make_pallas_bo_sampler(
+        policy.diffusion,
+        projection_spec=cfg.get("projection"),
+        P=getattr(policy, "_P", None),
+        stats=getattr(policy, "_stats", None),
+        n_candidates=n_candidates,
+        group_chains=group_chains,
+        sampling_timesteps=cfg.get("sampling_timesteps"),
+    )
+    jitted = jax.jit(lambda p, k, c, prep: mega(p, k, c, prepared=prep))
+    box = {}
+
+    def plan(params, key, conditions, P=None, stats_=None):
+        if "prep" not in box:
+            box["prep"] = mega.prepare(params)
+        return jitted(params, key, conditions, box["prep"])
+
+    policy._plan = plan
+    policy.n_candidates = 1
+    policy.megakernel = True
+    return policy

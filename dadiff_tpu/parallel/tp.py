@@ -77,6 +77,17 @@ def _tp_spec_for_leaf(name: str, leaf, tp_size: int, min_size: int):
             out_dim = 0
         else:
             return None
+    elif "time_dense" in name and leaf.ndim <= 2:
+        # Time-MLP projections whose per-device shard would be < 128 lanes:
+        # GSPMD's cost model all-gathers the WHOLE kernel at the use site
+        # rather than run the narrow sharded matmul — measured on the
+        # dim=256 tp=4 forward (scripts/analyze_tp_comm.py caught 2x 256KB
+        # weight gathers per step). Replicate kernel AND bias outright:
+        # removes the per-step collective for a few hundred KB of memory
+        # (Megatron replicates small projections for the same reason).
+        out_dim = leaf.ndim - 1
+        if leaf.shape[out_dim] // max(1, tp_size) < 128:
+            return None
     elif leaf.ndim == 3:
         out_dim = 1 if "upsample" in name else 2
     elif leaf.ndim == 2:

@@ -52,8 +52,9 @@ def test_param_specs_shard_conv_out_channels():
     assert specs["down_0_res1"]["block1"]["conv"]["kernel"] == P(None, None, "tp")
     # ConvTranspose1d kernel (k, out, in): tp on dim 1
     assert specs["up_0_upsample"]["kernel"] == P(None, "tp", None)
-    # Dense kernel (in, out): tp on dim 1
-    assert specs["time_dense1"]["kernel"] == P(None, "tp")
+    # Time-MLP dense kernels replicate when the per-device shard would be
+    # < 128 lanes (GSPMD would weight-gather them anyway; see tp.py)
+    assert specs["time_dense1"]["kernel"] == P(None, None)
     # transition_dim=8 output of final_conv is < min_size: replicated
     assert specs["final_conv"]["kernel"] == P(None, None, None)
 
