@@ -275,6 +275,15 @@ def make_pallas_planner_chain(
         ]
         if projection:
             args += [M, b.reshape(1, HD)]
+        # scoped-VMEM stack grows ~0.53 MB per stacked chain (live conv
+        # stacks + the projection's block-diagonal spread); the default
+        # 16 MB limit caps ~24 chains — raise it (v5e has 128 MB VMEM and
+        # the bf16 weights take ~32 MB as inputs)
+        compiler_params = None
+        if not interpret:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            )
         return pl.pallas_call(
             kernel,
             grid=(G, T),
@@ -284,6 +293,7 @@ def make_pallas_planner_chain(
             ),
             out_shape=jax.ShapeDtypeStruct((G * NH, D), jnp.float32),
             scratch_shapes=[pltpu.VMEM((NH, D), jnp.float32)],
+            compiler_params=compiler_params,
             interpret=interpret,
         )(*args)
 
