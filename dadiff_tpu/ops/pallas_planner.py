@@ -447,7 +447,7 @@ def make_pallas_bo_sampler(
 
 
 def wire_policy_megakernel(policy, *, n_candidates: int,
-                           group_chains: int = 64):
+                           group_chains: int = 64, interpret: bool = False):
     """Route a constructed policy's replans through the batched planning
     megakernel: one pallas_call per replan wave (all candidates,
     conditioning, per-step projection, best-of-N selection in-kernel
@@ -477,6 +477,8 @@ def wire_policy_megakernel(policy, *, n_candidates: int,
         n_candidates=n_candidates,
         group_chains=group_chains,
         sampling_timesteps=cfg.get("sampling_timesteps"),
+        interpret=interpret,
+        weight_dtype=jnp.float32 if interpret else jnp.bfloat16,
     )
     jitted = jax.jit(lambda p, k, c, prep: mega(p, k, c, prepared=prep))
     box = {}

@@ -283,3 +283,41 @@ def test_bo_sampler_end_to_end():
         np.asarray(out[:, 0, :OBS]), np.asarray(obs), atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(out[:, 0, OBS:]), 0.0, atol=1e-5)
+
+
+def test_wire_policy_megakernel(setupless=None):
+    """The policy-layer megakernel wiring: same host logic, sampler call
+    replaced, candidate selection moved in-path."""
+    from dadiff_tpu.guides.policies import DynamicsAwarePolicy
+    from dadiff_tpu.ops.pallas_planner import wire_policy_megakernel
+
+    unet, diffusion, params = _setup()[0], *_setup()[1:]  # noqa
+    P, stats = _proj_setup()
+
+    class _Norm:
+        obs_mean = np.zeros(OBS, np.float32)
+        obs_std = np.ones(OBS, np.float32)
+        action_mean = np.zeros(ACT, np.float32)
+        action_std = np.ones(ACT, np.float32)
+
+        def normalize_observations(self, x):
+            return np.asarray(x, np.float32)
+
+        def unnormalize_observations(self, x):
+            return np.asarray(x, np.float32)
+
+        def unnormalize_actions(self, x):
+            return np.asarray(x, np.float32)
+
+    policy = DynamicsAwarePolicy(
+        diffusion, projection_matrix=np.asarray(P), normalizer=_Norm(),
+        params=params, state_dim=STATE, action_horizon=4, n_candidates=4,
+    )
+    wire_policy_megakernel(policy, n_candidates=4, group_chains=4,
+                           interpret=True)
+    assert policy.n_candidates == 1 and policy.megakernel
+    a = policy.get_action(np.zeros(OBS, np.float32))
+    assert a.shape == (ACT,)
+    traj = policy.plan(np.ones(OBS, np.float32) * 0.1)
+    assert traj.shape == (1, H, D)
+    assert np.all(np.isfinite(traj))
