@@ -49,6 +49,10 @@ def main(argv=None):
                    choices=["disc", "axis"],
                    help="wall contact model: MuJoCo-like disc push-out "
                         "(default) or the harsher axis-freeze")
+    p.add_argument("--wall-slack", type=float, default=0.02,
+                   help="soft-contact penetration allowance of the disc "
+                        "model (calibrate per map with "
+                        "scripts/calibrate_contact.py)")
     p.add_argument("--megakernel", action="store_true",
                    help="run every replan wave (all candidates, "
                         "conditioning, per-step projection, best-of-N "
@@ -79,7 +83,8 @@ def main(argv=None):
     if is_cm and args.sampler != "consistency":
         raise SystemExit("checkpoint is a consistency-distilled student; "
                          "pass --sampler consistency")
-    env = PointMazeJax(map_name=args.map, collision=args.collision)
+    env = PointMazeJax(map_name=args.map, collision=args.collision,
+                       wall_slack=args.wall_slack)
     stats = NormStats.from_normalizer(dataset.normalizer)
 
     projection = None
