@@ -731,11 +731,15 @@ def build_eval_parser() -> argparse.ArgumentParser:
                         "(default: the env's agent radius; 0 = center-cell "
                         "only)")
     p.add_argument("--action-source", type=str, default="plan",
-                   choices=["plan", "inverse-dynamics"],
-                   help="execute the plan's action columns, or derive "
-                        "actions from consecutive planned states via a "
-                        "learned inverse-dynamics model (Decision-Diffuser-"
-                        "style; robust for locomotion)")
+                   choices=["plan", "inverse-dynamics", "track"],
+                   help="execute the plan's action columns; derive actions "
+                        "from consecutive planned states via a learned "
+                        "inverse-dynamics model (Decision-Diffuser-style, "
+                        "open-loop); or 'track': closed-loop tracking — each "
+                        "action computed at execution time from the OBSERVED "
+                        "state toward the planned next state, "
+                        "u_t = g(s_obs, s_plan_next), correcting "
+                        "within-chunk drift without a replan")
     p.add_argument("--candidate-scorer", type=str, default="goal",
                    choices=["goal", "velocity", "wall-penalty"],
                    help="best-of-N plan scorer: final goal distance (maze), "
@@ -1014,7 +1018,8 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
         )
 
     inverse_dynamics = None
-    if args.action_source == "inverse-dynamics":
+    track_planned_states = args.action_source == "track"
+    if args.action_source in ("inverse-dynamics", "track"):
         from dadiff_tpu.datasets.sources import load_episodes
         from dadiff_tpu.envs.learned_model import train_inverse_dynamics
 
@@ -1034,6 +1039,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
+            track_planned_states=track_planned_states,
             warm_start_t=args.warm_start_t,
             warm_start_auto=args.warm_start_auto,
             replan_deviation=args.replan_deviation,
@@ -1047,6 +1053,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
+            track_planned_states=track_planned_states,
             warm_start_t=args.warm_start_t,
             warm_start_auto=args.warm_start_auto,
             replan_deviation=args.replan_deviation,
@@ -1071,6 +1078,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
+            track_planned_states=track_planned_states,
             warm_start_t=args.warm_start_t,
             warm_start_auto=args.warm_start_auto,
             replan_deviation=args.replan_deviation,
@@ -1132,6 +1140,7 @@ def build_policy_from_args(args, diffusion, params, dataset, dataset_spec,
             skip_conditioned_action=args.skip_conditioned_action,
             candidate_scorer=candidate_scorer,
             inverse_dynamics=inverse_dynamics,
+            track_planned_states=track_planned_states,
             warm_start_t=args.warm_start_t,
             warm_start_auto=args.warm_start_auto,
             replan_deviation=args.replan_deviation,

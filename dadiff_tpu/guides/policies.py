@@ -149,6 +149,7 @@ class GuidedPolicy:
         sampler: str = "ddpm",
         ddim_eta: float = 0.0,
         inverse_dynamics: Optional[Callable] = None,
+        track_planned_states: bool = False,
         warm_start_t: Optional[int] = None,
         warm_start_auto: bool = False,
         warm_auto_scale: float = 4.0,
@@ -181,6 +182,16 @@ class GuidedPolicy:
         # plan's action columns. Far more robust for locomotion, where
         # executing smoothed planned actions open-loop drifts.
         self.inverse_dynamics = inverse_dynamics
+        # CLOSED-LOOP state tracking (execution-side lever; no reference
+        # counterpart): instead of committing to actions at plan time, buffer
+        # the planned STATE rows and compute each action at execution time
+        # from the OBSERVED state, u_t = g(s_obs, s_plan_{t+1}). Drift within
+        # an action chunk is corrected toward the planned trajectory without
+        # paying a replan — the open-loop chunk-execution gap the round-3
+        # DAgger diagnosis isolated is exactly what this removes.
+        if track_planned_states and inverse_dynamics is None:
+            raise ValueError("track_planned_states needs inverse_dynamics")
+        self.track_planned_states = track_planned_states
 
         self._rng = jax.random.PRNGKey(seed)
         # full sampler build config, exposed so the micro-batching server
@@ -378,7 +389,16 @@ class GuidedPolicy:
         a0, a1 = self.observation_dim, self.observation_dim + self.action_dim
         start = 1 if self.skip_conditioned_action else 0
         stop = min(self.action_horizon + 1, self.horizon)
-        if self.inverse_dynamics is not None:
+        if self.track_planned_states:
+            # closed-loop tracking: buffer the planned NEXT states; actions
+            # are computed per step in get_action from the observed state
+            stop = min(stop, self.horizon - 1)
+            obs_rows = self.normalizer.unnormalize_observations(
+                traj[start : stop + 1, : self.observation_dim]
+            )
+            for nxt in obs_rows[1:]:
+                self.action_buffer.append(np.asarray(nxt))
+        elif self.inverse_dynamics is not None:
             # a_t = g(s_t, s_{t+1}) from planned states (one batched call)
             stop = min(stop, self.horizon - 1)
             obs_rows = self.normalizer.unnormalize_observations(
@@ -424,7 +444,15 @@ class GuidedPolicy:
         self._actions_taken += 1
         if self._planned_obs:
             self._planned_obs.pop(0)
-        return self.action_buffer.pop(0)
+        item = self.action_buffer.pop(0)
+        if self.track_planned_states:
+            # u_t = g(s_observed, s_planned_next): recompute from the REAL
+            # state so within-chunk drift is steered back toward the plan
+            obs_phys = self._process_observation(observation)
+            return np.ravel(
+                np.asarray(self.inverse_dynamics(obs_phys, item[None]))
+            )
+        return item
 
     def reset(self) -> None:
         self.action_buffer.clear()

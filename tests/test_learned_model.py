@@ -206,3 +206,61 @@ def test_policy_inverse_dynamics_action_extraction():
     # 3 actions buffered+popped: rows start..start+3 -> 4 obs rows, 3 pairs
     assert calls["shapes"][0][0] == 3
     assert len(pol.action_buffer) == 2
+
+
+def test_policy_closed_loop_state_tracking():
+    """action_source=track: each action is computed at EXECUTION time from
+    the observed state toward the planned next state — when the observed
+    state drifts, the tracked action changes with it (the open-loop variant
+    by construction cannot)."""
+    from dadiff_tpu.guides.policies import MPCPolicy
+    from dadiff_tpu.models.diffusion import GaussianDiffusion
+    from dadiff_tpu.models.temporal_unet import TemporalUnet
+    from dadiff_tpu.datasets.normalization import DatasetNormalizer
+
+    obs_dim, act_dim = 4, 2
+    rs = np.random.RandomState(0)
+    obs = rs.randn(100, obs_dim).astype(np.float32)
+    acts = rs.randn(100, act_dim).astype(np.float32)
+    normalizer = DatasetNormalizer(obs, acts, obs_dim, act_dim)
+
+    unet = TemporalUnet(transition_dim=6, dim=8, dim_mults=(1, 2))
+    d = GaussianDiffusion(model=unet, horizon=8, observation_dim=obs_dim,
+                          action_dim=act_dim, n_timesteps=5)
+    params = d.init_params(jax.random.PRNGKey(0))
+
+    seen = []
+
+    def linear_inverse(o, nxt):
+        # exact invdyn of x' = x + u_pad: u = (x' - x)[:, :act_dim]
+        seen.append(np.asarray(o).copy())
+        return jnp.asarray(nxt)[:, :act_dim] - jnp.asarray(o)[:, :act_dim]
+
+    pol = MPCPolicy(d, normalizer, params=params, action_horizon=3,
+                    skip_conditioned_action=True,
+                    inverse_dynamics=linear_inverse,
+                    track_planned_states=True)
+    o0 = np.zeros(obs_dim, np.float32)
+    a0 = pol.get_action(o0)
+    assert a0.shape == (act_dim,)
+    # buffer holds planned STATES (obs_dim rows), not actions
+    assert len(pol.action_buffer) == 2
+    assert pol.action_buffer[0].shape == (obs_dim,)
+    target1 = pol.action_buffer[0].copy()
+
+    # two different observed states -> two different tracked actions toward
+    # the SAME planned target (pure closed-loop dependence on s_obs)
+    o_a = np.full(obs_dim, 0.5, np.float32)
+    a_from_a = pol.get_action(o_a)
+    pol.action_buffer.insert(0, target1)  # rewind the buffer
+    pol._planned_obs.insert(0, pol._planned_obs[0] if pol._planned_obs else target1)
+    o_b = np.full(obs_dim, -0.5, np.float32)
+    a_from_b = pol.get_action(o_b)
+    assert not np.allclose(a_from_a, a_from_b)
+    np.testing.assert_allclose(
+        a_from_a - a_from_b,
+        (o_b - o_a)[:act_dim],
+        rtol=1e-5, atol=1e-5,
+    )
+    # the invdyn call saw the OBSERVED states, not plan rows
+    assert np.allclose(seen[-1][0], o_b)
