@@ -165,13 +165,21 @@ def evaluate_policy_batched(
             obs_rows = policy.normalizer.unnormalize_observations(
                 trajs[:, start_t : stop_t + 1, :obs_dim].reshape(-1, obs_dim)
             ).reshape(n_episodes, -1, obs_dim)
-            inv_acts = np.asarray(
-                policy.inverse_dynamics(
-                    obs_rows[:, :-1].reshape(-1, obs_dim),
-                    obs_rows[:, 1:].reshape(-1, obs_dim),
-                )
-            ).reshape(n_episodes, -1, act_dim)
-            n_exec = inv_acts.shape[1]
+            if policy.track_planned_states:
+                # closed-loop tracking: u_t = g(s_observed, s_planned_next)
+                # recomputed per step from the REAL states — one batched
+                # inverse-dynamics call per lockstep step across all envs
+                planned_next = obs_rows[:, 1:]  # (N, n_exec, obs_dim)
+                inv_acts = None
+                n_exec = planned_next.shape[1]
+            else:
+                inv_acts = np.asarray(
+                    policy.inverse_dynamics(
+                        obs_rows[:, :-1].reshape(-1, obs_dim),
+                        obs_rows[:, 1:].reshape(-1, obs_dim),
+                    )
+                ).reshape(n_episodes, -1, act_dim)
+                n_exec = inv_acts.shape[1]
         else:
             actions_norm = trajs[:, start_t : start_t + n_buffered, a0:a1]
             n_exec = n_buffered
@@ -180,7 +188,16 @@ def evaluate_policy_batched(
             if step >= max_steps or done.all():
                 break
             if policy.inverse_dynamics is not None:
-                acts = inv_acts[:, j]
+                if policy.track_planned_states:
+                    cur = np.concatenate(
+                        [policy._process_observation(o) for o in obs_list],
+                        axis=0,
+                    )
+                    acts = np.asarray(
+                        policy.inverse_dynamics(cur, planned_next[:, j])
+                    ).reshape(n_episodes, -1)
+                else:
+                    acts = inv_acts[:, j]
             else:
                 acts = policy.normalizer.unnormalize_actions(
                     actions_norm[:, j].reshape(n_episodes, -1)

@@ -347,3 +347,47 @@ def test_ondevice_evaluator_best_of_n(env):
     assert 0.0 <= float(metrics.success_rate) <= 1.0
     assert np.isfinite(float(metrics.mean_reward))
     assert int(state.t[0]) == 8
+
+
+def test_batched_vector_eval_track_planned_states():
+    """--batched + --action-source track: one batched inverse-dynamics call
+    per lockstep step, fed the OBSERVED states (closed-loop), actions steer
+    toward the planned next state."""
+    from dadiff_tpu.datasets.normalization import DatasetNormalizer
+    from dadiff_tpu.envs.vector_eval import evaluate_policy_batched
+    from dadiff_tpu.guides.policies import MPCPolicy
+
+    rng = np.random.RandomState(0)
+    normalizer = DatasetNormalizer(rng.randn(200, 6), rng.randn(200, 2), 6, 2)
+    unet = TemporalUnet(transition_dim=8, dim=8, dim_mults=(1, 2))
+    d = GaussianDiffusion(
+        model=unet, horizon=8, observation_dim=6, action_dim=2, n_timesteps=5
+    )
+    params = d.init_params(jax.random.PRNGKey(0))
+
+    seen = []
+
+    def linear_inverse(o, nxt):
+        seen.append(np.asarray(o))
+        return jnp.clip(
+            jnp.asarray(nxt)[:, :2] - jnp.asarray(o)[:, :2], -1.0, 1.0
+        )
+
+    policy = MPCPolicy(d, normalizer, params=params, action_horizon=4,
+                       sampling_timesteps=5,
+                       inverse_dynamics=linear_inverse,
+                       track_planned_states=True)
+
+    n_eps, n_steps = 3, 8
+    metrics = evaluate_policy_batched(
+        policy, "PointMaze_UMaze-v3", n_episodes=n_eps, max_steps=n_steps,
+        seed=0, verbose=False,
+    )
+    assert len(metrics["episode_rewards"]) == n_eps
+    assert metrics["mean_length"] == float(n_steps)
+    # one batched call per executed step, each over all envs' OBSERVED states
+    assert len(seen) == n_steps
+    for s in seen:
+        assert s.shape == (n_eps, 6)
+    # consecutive steps see different observed states (closed-loop feedback)
+    assert not np.allclose(seen[0], seen[1])
