@@ -513,8 +513,15 @@ def make_ondevice_locomotion_evaluator(
     jit: bool = True,
     mesh=None,
     batch_axis: str = "dp",
+    ensemble: bool = False,
 ):
     """On-device plan->step->replan over the learned simulator.
+
+    With ``ensemble=True``, ``model_params`` is ensemble-stacked (leading
+    member axis on every leaf, as returned by ``train_dynamics_ensemble``)
+    and the simulator steps the deterministic ensemble MEAN — the surrogate
+    whose K-step return error the measured bound
+    (scripts/surrogate_bound.py) actually characterizes.
 
     Returns ``evaluate(params, rng, norm_stats, init_obs) -> (mean_return,
     mean_length, returns)``: two nested lax.scans (replans x action steps)
@@ -547,7 +554,15 @@ def make_ondevice_locomotion_evaluator(
     def model_step(obs, act):
         o_n = (obs - model_stats.obs_mean) / model_stats.obs_std
         a_n = (act - model_stats.act_mean) / model_stats.act_std
-        d_n = model.apply({"params": model_params}, o_n, a_n)
+        if ensemble:
+            d_n = jnp.mean(
+                jax.vmap(
+                    lambda p: model.apply({"params": p}, o_n, a_n)
+                )(model_params),
+                axis=0,
+            )
+        else:
+            d_n = model.apply({"params": model_params}, o_n, a_n)
         return obs + d_n * model_stats.delta_std + model_stats.delta_mean
 
     def evaluate(params, rng, norm_stats, init_obs):

@@ -189,6 +189,11 @@ def evaluate_policy_batched(
                 break
             if policy.inverse_dynamics is not None:
                 if policy.track_planned_states:
+                    # NOTE: the batched inverse-dynamics call includes
+                    # already-done envs (their rows are computed but never
+                    # executed — the done[i] guard below skips them). Fine
+                    # for lockstep waves; masking to live envs would only
+                    # save device work late in a run.
                     cur = np.concatenate(
                         [policy._process_observation(o) for o in obs_list],
                         axis=0,

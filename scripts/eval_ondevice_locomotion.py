@@ -42,6 +42,10 @@ def main(argv=None):
                    choices=["ddpm", "ddim", "dpmpp", "consistency"])
     p.add_argument("--model-steps", type=int, default=3000,
                    help="dynamics-MLP training steps")
+    p.add_argument("--sim-ensemble", type=int, default=4,
+                   help="simulator ensemble size; the evaluator steps the "
+                        "ensemble MEAN (the surrogate the measured error "
+                        "bound applies to — ADVICE r3). 1 = single model.")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
     args = p.parse_args(argv)
@@ -58,6 +62,7 @@ def main(argv=None):
     from dadiff_tpu.envs.learned_model import (
         make_ondevice_locomotion_evaluator,
         reward_model_for,
+        train_dynamics_ensemble,
         train_dynamics_model,
     )
     from dadiff_tpu.ops.projection import NormStats
@@ -71,9 +76,17 @@ def main(argv=None):
 
     episodes = load_episodes(args.dataset)
     print(f"fitting simulator on {len(episodes)} episodes ...", flush=True)
-    model, mparams, mstats, metrics = train_dynamics_model(
-        episodes, n_steps=args.model_steps, seed=args.seed, verbose=True
-    )
+    use_ensemble = args.sim_ensemble > 1
+    if use_ensemble:
+        # ensemble MEAN is the surrogate scripts/surrogate_bound.py bounds
+        model, mparams, mstats, metrics = train_dynamics_ensemble(
+            episodes, n_models=args.sim_ensemble,
+            n_steps=args.model_steps, seed=args.seed, verbose=True,
+        )
+    else:
+        model, mparams, mstats, metrics = train_dynamics_model(
+            episodes, n_steps=args.model_steps, seed=args.seed, verbose=True
+        )
     print(f"simulator held-out one-step R^2: mean={metrics['r2_mean']:.4f} "
           f"min={metrics['r2_min']:.4f}", flush=True)
 
@@ -89,6 +102,7 @@ def main(argv=None):
         diffusion, model, mparams, mstats, reward_model_for(args.env),
         action_horizon=args.action_horizon, n_replans=args.n_replans,
         sampling_timesteps=args.sampling_timesteps, sampler=args.sampler,
+        ensemble=use_ensemble,
     )
 
     rng = jax.random.PRNGKey(args.seed)

@@ -48,20 +48,32 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def segments_from_episodes(episodes, k_max, stride, skip_initial):
-    """(obs0, acts, rews, real_next_obs) stacks of length k_max windows."""
+def segments_from_episodes(episodes, k, stride, skip_initial):
+    """(obs0, acts, rews, real_next_obs) stacks of length-k windows.
+
+    Windows are built PER chunk length k (ADVICE r3: windowing everything
+    at max(k) silently excluded episodes shorter than max(k)+skip from the
+    small-K rows). Returns (stacks, n_episodes_excluded).
+    """
     obs0, acts, rews, nxts = [], [], [], []
+    excluded = 0
     for ep in episodes:
         o, a, r = ep["observations"], ep["actions"], ep["rewards"]
         n = len(a)
-        for t in range(skip_initial, n - k_max, stride):
+        if n - k <= skip_initial:
+            excluded += 1
+            continue
+        for t in range(skip_initial, n - k, stride):
             obs0.append(o[t])
-            acts.append(a[t : t + k_max])
-            rews.append(r[t : t + k_max])
-            nxts.append(o[t + 1 : t + k_max + 1])
+            acts.append(a[t : t + k])
+            rews.append(r[t : t + k])
+            nxts.append(o[t + 1 : t + k + 1])
     if not obs0:
-        return None
-    return (np.stack(obs0), np.stack(acts), np.stack(rews), np.stack(nxts))
+        return None, excluded
+    return (
+        (np.stack(obs0), np.stack(acts), np.stack(rews), np.stack(nxts)),
+        excluded,
+    )
 
 
 def main():
@@ -88,6 +100,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
+    if args.holdout_every < 2:
+        p.error("--holdout-every must be >= 2 (1 would hold out every "
+                "episode, leaving nothing to fit the simulator on)")
 
     import jax
     import jax.numpy as jnp
@@ -142,66 +157,82 @@ def main():
         return jnp.swapaxes(nxts, 0, 1), jnp.swapaxes(rs, 0, 1)
 
     def measure(name, episodes):
-        seg = segments_from_episodes(
-            episodes, max(args.k), args.stride, args.skip_initial
-        )
-        if seg is None:
-            print(f"[{name}] no segments (episodes too short)")
-            return None
-        obs0, acts, rews, real_nxt = seg
-        sim_nxt, sim_rew = map(
-            np.asarray, rollout(jnp.asarray(obs0), jnp.asarray(acts))
-        )
-        # reward-model floor: reward_fn on REAL transitions vs recorded
-        real_prev = np.concatenate([obs0[:, None], real_nxt[:, :-1]], axis=1)
-        floor_rew = np.asarray(
-            reward_fn(jnp.asarray(real_prev), jnp.asarray(real_nxt),
-                      jnp.asarray(acts))[0]
-        )
         obs_scale = np.asarray(stats.obs_std)
         rows = []
         for K in args.k:
-            r_real = rews[:, :K].sum(1)
-            r_sim = sim_rew[:, :K].sum(1)
-            r_floor = floor_rew[:, :K].sum(1)
+            seg, excluded = segments_from_episodes(
+                episodes, K, args.stride, args.skip_initial
+            )
+            if seg is None:
+                print(f"[{name}] K={K}: no segments (episodes too short)")
+                continue
+            obs0, acts, rews, real_nxt = seg
+            if excluded:
+                print(f"[{name}] K={K}: {excluded}/{len(episodes)} episodes "
+                      f"too short for this window, excluded", flush=True)
+            sim_nxt, sim_rew = map(
+                np.asarray, rollout(jnp.asarray(obs0), jnp.asarray(acts))
+            )
+            # reward-model floor: reward_fn on REAL transitions vs recorded
+            real_prev = np.concatenate(
+                [obs0[:, None], real_nxt[:, :-1]], axis=1
+            )
+            floor_rew = np.asarray(
+                reward_fn(jnp.asarray(real_prev), jnp.asarray(real_nxt),
+                          jnp.asarray(acts))[0]
+            )
+            r_real = rews.sum(1)
+            r_sim = sim_rew.sum(1)
+            r_floor = floor_rew.sum(1)
             err = np.abs(r_sim - r_real)
             scale = float(np.mean(np.abs(r_real)))
-            # cross-fitted affine calibration (fit even segs, score odd)
-            a_c, b_c = np.polyfit(r_sim[0::2], r_real[0::2], 1)
-            resid = np.abs(a_c * r_sim[1::2] + b_c - r_real[1::2])
+            # cross-fitted affine calibration (fit even segs, score odd);
+            # needs enough segments in both folds to be meaningful
+            if len(r_real) >= 8:
+                a_c, b_c = np.polyfit(r_sim[0::2], r_real[0::2], 1)
+                resid = np.abs(a_c * r_sim[1::2] + b_c - r_real[1::2])
+                calib_p90 = float(np.percentile(resid, 90))
+            else:
+                calib_p90 = None
             rmse = float(
                 np.sqrt(
                     np.mean(
-                        ((sim_nxt[:, K - 1] - real_nxt[:, K - 1]) / obs_scale)
-                        ** 2
+                        ((sim_nxt[:, -1] - real_nxt[:, -1]) / obs_scale) ** 2
                     )
                 )
             )
             rows.append({
                 "K": K,
                 "n_segments": int(len(r_real)),
+                "n_episodes_excluded": int(excluded),
                 "mean_abs_R_real": scale,
                 "err_p50": float(np.percentile(err, 50)),
                 "err_p90": float(np.percentile(err, 90)),
                 "floor_p90": float(
                     np.percentile(np.abs(r_floor - r_real), 90)
                 ),
-                "calib_resid_p90": float(np.percentile(resid, 90)),
+                "calib_resid_p90": calib_p90,
                 "state_nrmse_at_K": rmse,
                 "quotable": bool(
                     np.percentile(err, 90) <= args.tolerance * max(scale, 1e-9)
                 ),
             })
+        if not rows:
+            print(f"[{name}] no usable segments at any K")
+            return None
         k_star = max((r["K"] for r in rows if r["quotable"]), default=0)
-        print(f"\n[{name}] {rows[0]['n_segments']} segments; "
+        print(f"\n[{name}] segments per K "
+              f"{ {r['K']: r['n_segments'] for r in rows} }; "
               f"K* (p90 err <= {args.tolerance:.0%} of |R|) = {k_star}")
         print("| K | |R_real| | sim err p50 | p90 | reward-model floor p90 "
               "| calib resid p90 | state nRMSE |")
         print("|---|---|---|---|---|---|---|")
         for r in rows:
+            calib = (f"{r['calib_resid_p90']:.2f}"
+                     if r["calib_resid_p90"] is not None else "n/a")
             print(f"| {r['K']} | {r['mean_abs_R_real']:.2f} "
                   f"| {r['err_p50']:.2f} | {r['err_p90']:.2f} "
-                  f"| {r['floor_p90']:.2f} | {r['calib_resid_p90']:.2f} "
+                  f"| {r['floor_p90']:.2f} | {calib} "
                   f"| {r['state_nrmse_at_K']:.2f} |")
         return {"rows": rows, "k_star": k_star}
 
@@ -216,7 +247,13 @@ def main():
     if out:
         report["distributions"]["heldout"] = out
     if args.visited:
-        out = measure("policy-visited", load_episodes(f"npz:{args.visited}"))
+        # accept either a bare npz path or a full dataset spec
+        # (consistent with --data; ADVICE r3: 'npz:npz:...' double-prefix)
+        known = ("npz:", "synthetic:", "expert:", "mppi:", "gym:", "minari:")
+        spec = (args.visited
+                if args.visited.startswith(known) or "+" in args.visited
+                else f"npz:{args.visited}")
+        out = measure("policy-visited", load_episodes(spec))
         if out:
             report["distributions"]["visited"] = out
 

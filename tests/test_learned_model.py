@@ -124,6 +124,76 @@ def test_ondevice_locomotion_evaluator_runs():
     assert float(mean_len) == 12.0  # 3 replans x 4 actions, nothing dies
 
 
+def test_ondevice_locomotion_evaluator_ensemble_mean():
+    """ensemble=True steps the ensemble MEAN: equals averaging member
+    predictions (the surrogate scripts/surrogate_bound.py bounds)."""
+    from dadiff_tpu.envs.learned_model import train_dynamics_ensemble
+    from dadiff_tpu.models.diffusion import GaussianDiffusion
+    from dadiff_tpu.models.temporal_unet import TemporalUnet
+    from dadiff_tpu.ops.projection import NormStats
+
+    obs_dim, act_dim = 4, 2
+    eps = _linear_episodes(obs_dim=obs_dim, act_dim=act_dim)
+    model, stacked, mstats, metrics = train_dynamics_ensemble(
+        eps, n_models=3, hidden=(32,), n_steps=100, batch_size=128
+    )
+    assert len(metrics["member_r2"]) == 3
+
+    unet = TemporalUnet(transition_dim=obs_dim + act_dim, dim=8, dim_mults=(1, 2))
+    d = GaussianDiffusion(model=unet, horizon=8, observation_dim=obs_dim,
+                          action_dim=act_dim, n_timesteps=5)
+    params = d.init_params(jax.random.PRNGKey(0))
+
+    def fake_reward(obs, nxt, act):
+        return nxt[..., 0], jnp.zeros(nxt.shape[:-1], bool)
+
+    ev = make_ondevice_locomotion_evaluator(
+        d, model, stacked, mstats, fake_reward,
+        action_horizon=4, n_replans=2, ensemble=True,
+    )
+    init_obs = jnp.asarray(np.stack([e["observations"][0] for e in eps[:4]]))
+    stats = NormStats.identity(obs_dim, act_dim)
+    mean_ret, mean_len, returns = ev(params, jax.random.PRNGKey(1), stats, init_obs)
+    assert returns.shape == (4,)
+    assert np.isfinite(float(mean_ret))
+    assert float(mean_len) == 8.0
+
+def test_surrogate_bound_segments_per_k():
+    """segments_from_episodes windows per K and reports excluded episodes
+    (ADVICE r3: max-K windowing silently dropped short episodes)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "surrogate_bound",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "surrogate_bound.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.RandomState(0)
+
+    def ep(n):
+        return {
+            "observations": rng.randn(n + 1, 3).astype(np.float32),
+            "actions": rng.randn(n, 2).astype(np.float32),
+            "rewards": rng.randn(n).astype(np.float32),
+        }
+
+    episodes = [ep(10), ep(100)]
+    # K=4: both episodes contribute
+    seg, excluded = mod.segments_from_episodes(episodes, 4, 10, 2)
+    assert excluded == 0 and seg is not None
+    # K=64: the 10-step episode is excluded and counted
+    seg, excluded = mod.segments_from_episodes(episodes, 64, 10, 2)
+    assert excluded == 1 and seg is not None
+    assert seg[1].shape[1] == 64
+    # nothing usable
+    seg, excluded = mod.segments_from_episodes([ep(5)], 64, 10, 2)
+    assert seg is None and excluded == 1
+
+
 def test_ondevice_locomotion_done_freezes_env():
     """A done env stops accumulating reward and length."""
     from dadiff_tpu.models.diffusion import GaussianDiffusion
