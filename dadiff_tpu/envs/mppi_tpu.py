@@ -172,19 +172,19 @@ def collect_mppi_tpu_episodes(
     physics_step_fn = None
     if dynamics_backend == "physics":
         # exact planar physics as the rollout model: zero model error, no
-        # simulator fit/refit (HalfCheetah only for now)
-        if "halfcheetah" not in env_name.lower():
-            raise ValueError("dynamics_backend='physics' currently supports "
-                             "HalfCheetah-v5 only")
-        from dadiff_tpu.envs.halfcheetah_jax import (
-            HalfCheetahJax,
+        # simulator fit/refit
+        from dadiff_tpu.envs.locomotion_jax import (
             make_physics_step_fn,
+            physics_env_for,
         )
 
-        # jacobi: parallel solve for the N*B-wide candidate batch
+        # jacobi: parallel solve for the N*B-wide candidate batch;
+        # search_model: reduced contacts + 2-edge pyramids (cheap
+        # rollouts — EXECUTION stays on the real env, so data quality
+        # only depends on candidate ranking fidelity)
         physics_step_fn = make_physics_step_fn(
-            HalfCheetahJax(solver_iters=physics_solver_iters,
-                           solver="jacobi")
+            physics_env_for(env_name, solver_iters=physics_solver_iters,
+                            solver="jacobi", search_model=True)
         )
     elif seed_episodes is None or len(seed_episodes) == 0:
         raise ValueError(

@@ -64,6 +64,8 @@ class PlanarModel(NamedTuple):
     dof_body: np.ndarray      # (nv,) body each dof belongs to (1-based)
     dof_type: np.ndarray      # (nv,) SLIDE_X / SLIDE_Z / HINGE_Y
     dof_anchor: np.ndarray    # (nv, 2) hinge anchor in body frame
+    dof_sign: np.ndarray      # (nv,) +1/-1: joint axis sign (e.g. -y hinges)
+    dof_ref: np.ndarray       # (nv,) joint reference (qpos0): disp = q - ref
     # inertial -----------------------------------------------------------
     mass: np.ndarray          # (nb,)
     inertia_y: np.ndarray     # (nb,) rotational inertia about +y through COM
@@ -90,11 +92,13 @@ class PlanarModel(NamedTuple):
     con_solref: np.ndarray    # (nc, 2)
     con_solimp: np.ndarray    # (nc, 5)
     con_invweight: np.ndarray  # (nc,) body_invweight0 trans sum of the pair
+    con_margin: np.ndarray    # (nc,) includemargin = sum margins - gaps
     dof_invweight: np.ndarray  # (nv,) dof_invweight0 (for limit rows)
     impratio: float
     # integration --------------------------------------------------------
     timestep: float
     gravity: float            # signed z acceleration (-9.81)
+    integrator: str           # 'euler' (implicit damping) or 'rk4'
     nv: int
     nu: int
     nb: int
@@ -109,11 +113,20 @@ def _quat_rot(quat: np.ndarray) -> np.ndarray:
     ])
 
 
-def extract_planar_model(env_name: str) -> PlanarModel:
+def extract_planar_model(
+    env_name: str,
+    contact_geoms: Optional[Tuple[str, ...]] = None,
+) -> PlanarModel:
     """Build a PlanarModel from the real gymnasium/MuJoCo model (host-only).
 
     Verifies the model is actually planar (slide-x/slide-z/hinge-y joints
     only, no body quaternions off the xz-plane) and raises otherwise.
+
+    ``contact_geoms``: optional geom-name whitelist for the contact
+    candidate set — e.g. ``("bfoot", "ffoot", "bshin", "fshin")`` for a
+    cheaper SEARCH model (MPPI rollouts) that only collides the parts
+    that touch ground during locomotion. Default: every colliding geom
+    (the exact model).
     """
     import gymnasium as gym
     import mujoco
@@ -129,17 +142,23 @@ def extract_planar_model(env_name: str) -> PlanarModel:
     dof_type = np.zeros(nv, np.int32)
     dof_body = np.zeros(nv, np.int32)
     dof_anchor = np.zeros((nv, 2), np.float64)
+    dof_sign = np.ones(nv, np.float64)
+    dof_ref = np.zeros(nv, np.float64)
     for j in range(m.njnt):
         jtype, axis = int(m.jnt_type[j]), m.jnt_axis[j]
         dof = int(m.jnt_dofadr[j])
         dof_body[dof] = int(m.jnt_bodyid[j])
         dof_anchor[dof] = m.jnt_pos[j][[0, 2]]
+        dof_ref[dof] = m.qpos0[int(m.jnt_qposadr[j])]
         if jtype == mujoco.mjtJoint.mjJNT_SLIDE and abs(axis[0]) > 0.99:
             dof_type[dof] = SLIDE_X
+            dof_sign[dof] = np.sign(axis[0])
         elif jtype == mujoco.mjtJoint.mjJNT_SLIDE and abs(axis[2]) > 0.99:
             dof_type[dof] = SLIDE_Z
+            dof_sign[dof] = np.sign(axis[2])
         elif jtype == mujoco.mjtJoint.mjJNT_HINGE and abs(axis[1]) > 0.99:
             dof_type[dof] = HINGE_Y
+            dof_sign[dof] = np.sign(axis[1])
         else:
             raise ValueError(f"{env_name}: joint {j} is not planar")
 
@@ -173,7 +192,8 @@ def extract_planar_model(env_name: str) -> PlanarModel:
     # contact candidates: both end-spheres of every capsule that can
     # collide with the floor plane (sphere geoms contribute one candidate)
     con_body, con_pos, con_radius = [], [], []
-    con_friction, con_solref, con_solimp, con_invweight = [], [], [], []
+    con_friction, con_solref, con_solimp = [], [], []
+    con_invweight, con_margin = [], []
     floor = None
     for g in range(m.ngeom):
         if int(m.geom_type[g]) == mujoco.mjtGeom.mjGEOM_PLANE:
@@ -183,6 +203,10 @@ def extract_planar_model(env_name: str) -> PlanarModel:
         b = int(m.geom_bodyid[g])
         if b == 0 or floor is None:
             continue
+        if contact_geoms is not None:
+            gname = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
+            if gname not in contact_geoms:
+                continue
         can_collide = (m.geom_contype[g] & m.geom_conaffinity[floor]) or \
                       (m.geom_contype[floor] & m.geom_conaffinity[g])
         if not can_collide:
@@ -204,6 +228,11 @@ def extract_planar_model(env_name: str) -> PlanarModel:
             continue
         invw = (m.body_invweight0[b][0]
                 + m.body_invweight0[m.geom_bodyid[floor]][0])
+        # includemargin = (margin1 + margin2) - (gap1 + gap2); contacts
+        # activate at dist < includemargin and every position term uses
+        # dist - includemargin (verified against mjData.efc_pos/aref)
+        incmargin = (m.geom_margin[g] + m.geom_margin[floor]
+                     - m.geom_gap[g] - m.geom_gap[floor])
         for e in ends:
             con_body.append(b)
             con_pos.append(e)
@@ -212,6 +241,12 @@ def extract_planar_model(env_name: str) -> PlanarModel:
             con_solref.append(solref)
             con_solimp.append(solimp)
             con_invweight.append(invw)
+            con_margin.append(incmargin)
+
+    integ = {0: "euler", 1: "rk4"}.get(int(m.opt.integrator))
+    if integ is None:
+        raise ValueError(f"{env_name}: unsupported integrator "
+                         f"{int(m.opt.integrator)}")
 
     return PlanarModel(
         parent=parent,
@@ -219,6 +254,8 @@ def extract_planar_model(env_name: str) -> PlanarModel:
         dof_body=dof_body,
         dof_type=dof_type,
         dof_anchor=dof_anchor,
+        dof_sign=dof_sign,
+        dof_ref=dof_ref,
         mass=mass,
         inertia_y=inertia_y,
         ipos=ipos,
@@ -242,8 +279,10 @@ def extract_planar_model(env_name: str) -> PlanarModel:
         con_solref=np.asarray(con_solref, np.float64),
         con_solimp=np.asarray(con_solimp, np.float64),
         con_invweight=np.asarray(con_invweight, np.float64),
+        con_margin=np.asarray(con_margin, np.float64),
         dof_invweight=np.asarray(m.dof_invweight0, np.float64).copy(),
         impratio=float(m.opt.impratio),
+        integrator=integ,
         timestep=float(m.opt.timestep),
         gravity=float(m.opt.gravity[2]),
         nv=nv, nu=nu, nb=nb,
@@ -265,7 +304,7 @@ class PlanarPhysics:
     """
 
     def __init__(self, model: PlanarModel, solver_iters: int = 30,
-                 solver: str = "pgs"):
+                 solver: str = "pgs", pyramid_edges: int = 4):
         """solver: 'pgs' (Gauss-Seidel; matches MuJoCo's Newton solution
         at high iteration counts, sequential over rows) or 'jacobi'
         (fully parallel — one masked matvec per iteration; measured
@@ -274,9 +313,14 @@ class PlanarPhysics:
         PGS's sequential row chain would dominate TPU latency)."""
         if solver not in ("pgs", "jacobi"):
             raise ValueError(f"unknown solver {solver!r}")
+        if pyramid_edges not in (2, 4):
+            raise ValueError("pyramid_edges must be 2 (cheap search model "
+                             "— drops the degenerate y-tangent rows) or 4 "
+                             "(MuJoCo-exact)")
         self.m = model
         self.solver_iters = solver_iters
         self.solver = solver
+        self.pyramid_edges = pyramid_edges
         # pre-split dof list per body for the FK walk (static python)
         self._body_dofs = [
             [d for d in range(model.nv) if model.dof_body[d] == b + 1]
@@ -303,9 +347,11 @@ class PlanarPhysics:
                 )
                 th = pth
             # apply this body's joints in dof order (MuJoCo composes the
-            # joint transforms after the fixed body offset)
+            # joint transforms after the fixed body offset); dof_sign
+            # folds joint axes like (0,-1,0) into the canonical frame and
+            # dof_ref is the joint's qpos0 reference (disp = q - ref)
             for d in self._body_dofs[b]:
-                q = qpos[d]
+                q = (qpos[d] - float(m.dof_ref[d])) * float(m.dof_sign[d])
                 t = int(m.dof_type[d])
                 if t == SLIDE_X:
                     c, s = jnp.cos(th), jnp.sin(th)
@@ -389,12 +435,20 @@ class PlanarPhysics:
         return -self.m.gravity * jnp.sum(mass * coms[:, 1])
 
     def bias_forces(self, qpos, qvel):
-        """Coriolis/centrifugal + gravity:  c(q, v) with  M qacc + c = tau."""
-        dM = jax.jacfwd(self.mass_matrix)(qpos)       # (nv, nv, nv): dM/dq_k
-        # Christoffel:  c_i = sum_jk (dM_ij/dq_k - 1/2 dM_jk/dq_i) v_j v_k
-        c = (jnp.einsum("ijk,j,k->i", dM, qvel, qvel)
-             - 0.5 * jnp.einsum("jki,j,k->i", dM, qvel, qvel))
-        return c + jax.grad(self._potential)(qpos)
+        """Coriolis/centrifugal + gravity:  c(q, v) with  M qacc + c = tau.
+
+        c = Ṁv − ½ ∂(vᵀMv)/∂q + ∂V/∂q, with Ṁv as a single JVP in the
+        direction of qvel and the quadratic term as one reverse pass —
+        O(1) mass-matrix builds instead of the nv-fold jacfwd of the
+        full dM/dq tensor (same math; the op-count matters because the
+        whole step sits inside wide-batch vmapped rollouts)."""
+        _, mdot_v = jax.jvp(
+            lambda q: self.mass_matrix(q) @ qvel, (qpos,), (qvel,)
+        )
+        dT = jax.grad(lambda q: 0.5 * qvel @ self.mass_matrix(q) @ qvel)(
+            qpos
+        )
+        return mdot_v - dT + jax.grad(self._potential)(qpos)
 
     def _actuation(self, ctrl, dtype):
         m = self.m
@@ -461,7 +515,10 @@ class PlanarPhysics:
                 jax.jacfwd(self._contact_kinematics)(qpos),
             )                                         # (nc,2),(nc,2,nv),(nc,nv)
             radius = jnp.asarray(m.con_radius, dtype)
-            dist = pts[:, 1] - radius                 # signed gap to plane
+            margin = jnp.asarray(m.con_margin, dtype)
+            geom_dist = pts[:, 1] - radius            # geometric gap
+            # row position = dist - includemargin; active while negative
+            dist = geom_dist - margin
             viol = jnp.maximum(-dist, 0.0)
             d_imp = self._impedance(jnp.asarray(m.con_solimp, dtype), viol)
             k, b = self._kb(jnp.asarray(m.con_solref, dtype),
@@ -474,15 +531,19 @@ class PlanarPhysics:
                      * 2.0 * mu * mu * (1.0 + mu * mu) / m.impratio)
             Jn = Jp[:, 1, :]                          # normal = +z
             # MuJoCo places the contact point midway through the
-            # penetration: material-point offset below the sphere center
-            # is -(radius + dist/2), which feeds the ω×r tangent term
-            r_off = radius + jnp.minimum(dist, 0.0) / 2.0
+            # penetration (geometric, not margin-adjusted): material-point
+            # offset below the sphere center is -(radius + dist/2),
+            # which feeds the ω×r tangent term
+            r_off = radius + jnp.minimum(geom_dist, 0.0) / 2.0
             Jt = Jp[:, 0, :] - r_off[:, None] * Jang
             # pyramid edges n ± mu*t_x, then the two degenerate y-tangent
-            # edges (zero planar motion -> pure normal rows).
+            # edges (zero planar motion -> pure normal rows; dropped in
+            # the 2-edge search model — they only add normal capacity).
             # aref = -b*vel - k*imp*pos with pos = dist, per row velocity.
-            for Je in (Jn + mu[:, None] * Jt, Jn - mu[:, None] * Jt,
-                       Jn, Jn):
+            edges = [Jn + mu[:, None] * Jt, Jn - mu[:, None] * Jt]
+            if self.pyramid_edges == 4:
+                edges += [Jn, Jn]
+            for Je in edges:
                 ve = Je @ qvel
                 rows_J.append(Je)
                 rows_aref.append(-b * ve - k * d_imp * dist)
@@ -525,11 +586,11 @@ class PlanarPhysics:
 
     # -- forward + integrate --------------------------------------------
 
-    def step(self, qpos, qvel, ctrl):
-        """One MuJoCo timestep (Euler integrator, implicit joint damping)."""
+    def _forward(self, qpos, qvel, ctrl):
+        """Constrained forward dynamics: returns (qacc, M, qfrc_smooth,
+        qfrc_constraint) — the full MuJoCo forward() pipeline."""
         m = self.m
         dtype = qpos.dtype
-        h = jnp.asarray(m.timestep, dtype)
 
         M = self.mass_matrix(qpos)
         bias = self.bias_forces(qpos, qvel)
@@ -603,15 +664,53 @@ class PlanarPhysics:
             qfrc_con = J.T @ f
             qacc = qacc_smooth + Minv_Jt @ f
 
-        # MuJoCo Euler: implicit joint damping —
-        #   (M + h D) v+ = M v + h (qfrc_smooth_nodamp + qfrc_constraint)
-        # where qfrc_smooth_nodamp re-adds the explicit damping force
+        return qacc, M, qfrc_smooth, qfrc_con
+
+    def step(self, qpos, qvel, ctrl):
+        """One MuJoCo timestep with the model's own integrator."""
+        if self.m.integrator == "rk4":
+            return self._step_rk4(qpos, qvel, ctrl)
+        return self._step_euler(qpos, qvel, ctrl)
+
+    def _step_euler(self, qpos, qvel, ctrl):
+        """MuJoCo Euler: implicit joint damping —
+        (M + h D) v+ = M v + h (qfrc_smooth_nodamp + qfrc_constraint),
+        where qfrc_smooth_nodamp re-adds the explicit damping force."""
+        m = self.m
+        dtype = qpos.dtype
+        h = jnp.asarray(m.timestep, dtype)
+        damping = jnp.asarray(m.damping, dtype)
+
+        _, M, qfrc_smooth, qfrc_con = self._forward(qpos, qvel, ctrl)
         qfrc_total = qfrc_smooth + qfrc_con + damping * qvel
         MhD = M + h * jnp.diag(damping)
         qvel_new = jax.scipy.linalg.solve(
             MhD, M @ qvel + h * qfrc_total, assume_a="pos"
         )
         qpos_new = qpos + h * qvel_new
+        return qpos_new, qvel_new
+
+    def _step_rk4(self, qpos, qvel, ctrl):
+        """MuJoCo mj_RungeKutta (N=4): classic RK4 on (qpos, qvel) with a
+        full constrained forward() per stage; damping stays explicit."""
+        m = self.m
+        dtype = qpos.dtype
+        h = jnp.asarray(m.timestep, dtype)
+        A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
+        B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+
+        kv = [qvel]
+        ka = [self._forward(qpos, qvel, ctrl)[0]]
+        for i in range(3):
+            dq = sum(A[i][j] * kv[j] for j in range(len(kv)))
+            dv = sum(A[i][j] * ka[j] for j in range(len(ka)))
+            qi = qpos + h * dq
+            vi = qvel + h * dv
+            kv.append(vi)
+            ka.append(self._forward(qi, vi, ctrl)[0])
+
+        qpos_new = qpos + h * sum(b * k for b, k in zip(B, kv))
+        qvel_new = qvel + h * sum(b * k for b, k in zip(B, ka))
         return qpos_new, qvel_new
 
     def env_step(self, qpos, qvel, ctrl, frame_skip: int):

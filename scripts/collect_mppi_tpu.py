@@ -53,8 +53,8 @@ def main():
     p.add_argument("--backend", type=str, default="learned",
                    choices=["learned", "physics"],
                    help="'physics' rolls MPPI candidates on the exact "
-                        "planar dynamics (envs/halfcheetah_jax.py) — zero "
-                        "model error, no simulator fit (HalfCheetah only)")
+                        "planar dynamics (envs/locomotion_jax.py) — zero "
+                        "model error, no simulator fit (HalfCheetah/Hopper/Walker2d)")
     p.add_argument("--physics-solver-iters", type=int, default=60)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, required=True)

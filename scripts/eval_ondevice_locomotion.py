@@ -49,10 +49,10 @@ def main(argv=None):
     p.add_argument("--backend", type=str, default="learned",
                    choices=["learned", "physics"],
                    help="'physics' = exact planar MuJoCo dynamics "
-                        "(envs/halfcheetah_jax.py; HalfCheetah only) — "
-                        "returns are REAL, not surrogate. 'learned' = "
-                        "ensemble-mean DynamicsMLP (any env), returns "
-                        "bounded by docs/surrogate_protocol.md.")
+                        "(envs/locomotion_jax.py: HalfCheetah/Hopper/"
+                        "Walker2d) — returns are REAL, not surrogate. "
+                        "'learned' = ensemble-mean DynamicsMLP (any env), "
+                        "returns bounded by docs/surrogate_protocol.md.")
     p.add_argument("--solver-iters", type=int, default=100,
                    help="physics backend: PGS constraint-solver iterations")
     p.add_argument("--skip-conditioned-action", action="store_true",
@@ -87,17 +87,14 @@ def main(argv=None):
     stats = NormStats.from_normalizer(dataset.normalizer)
 
     if args.backend == "physics":
-        if "halfcheetah" not in args.env.lower():
-            raise SystemExit("--backend physics currently supports "
-                             "HalfCheetah-v5 only")
-        from dadiff_tpu.envs.halfcheetah_jax import (
-            HalfCheetahJax,
+        from dadiff_tpu.envs.locomotion_jax import (
             make_physics_locomotion_evaluator,
+            physics_env_for,
         )
 
         print("backend: exact planar physics (no simulator fit; returns "
               "are real, bound: results/physics_bound_*.json)", flush=True)
-        phys_env = HalfCheetahJax(solver_iters=args.solver_iters)
+        phys_env = physics_env_for(args.env, solver_iters=args.solver_iters)
         metrics = {"r2_mean": 1.0, "r2_min": 1.0}
         evaluate = make_physics_locomotion_evaluator(
             diffusion, phys_env,

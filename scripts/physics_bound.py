@@ -5,7 +5,7 @@ Same protocol as scripts/surrogate_bound.py (the yardstick the learned
 surrogate was judged by, docs/surrogate_protocol.md): replay recorded
 action windows from recorded real-env start states through the backend
 and compare K-step returns against the recorded MuJoCo ground truth.
-Here the backend is dadiff_tpu.envs.halfcheetah_jax (planar_physics) —
+Here the backend is dadiff_tpu.envs.locomotion_jax (planar_physics) —
 acceptance bar from VERDICT r3 #3: beat the learned surrogate's measured
 bound (K* = 0 at the 10% band; p90 17.4 at K=16) with K* >= 16.
 
@@ -30,6 +30,8 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--env", type=str, default="HalfCheetah-v5",
+                   help="HalfCheetah-v5 / Hopper-v5 / Walker2d-v5")
     p.add_argument("--data", type=str, nargs="+", required=True)
     p.add_argument("--visited", type=str, default=None)
     p.add_argument("--holdout-every", type=int, default=7,
@@ -58,11 +60,11 @@ def main():
     import jax.numpy as jnp
 
     from dadiff_tpu.datasets.sources import load_episodes
-    from dadiff_tpu.envs.halfcheetah_jax import HalfCheetahJax
+    from dadiff_tpu.envs.locomotion_jax import physics_env_for
 
     from surrogate_bound import segments_from_episodes
 
-    env = HalfCheetahJax(solver_iters=args.solver_iters)
+    env = physics_env_for(args.env, solver_iters=args.solver_iters)
     dtype = jnp.float64 if args.x64 else jnp.float32
 
     @jax.jit
@@ -126,7 +128,7 @@ def main():
           flush=True)
 
     report = {
-        "env": "HalfCheetah-v5",
+        "env": args.env,
         "backend": "planar_physics",
         "dtype": "float64" if args.x64 else "float32",
         "solver_iters": args.solver_iters,
@@ -146,7 +148,7 @@ def main():
             report["distributions"]["visited"] = out
 
     path = args.out or (
-        f"results/physics_bound_HalfCheetah_v5"
+        f"results/physics_bound_{args.env.replace('-', '_')}"
         f"_{report['dtype']}.json"
     )
     with open(path, "w") as f:
