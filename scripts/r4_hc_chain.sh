@@ -13,15 +13,17 @@ python scripts/collect_mppi_tpu.py --env HalfCheetah-v5 --backend physics \
   --explore-sigma 0.15 --iterations 1 --seed 7 \
   --out data/halfcheetah_engine_r4.npz && touch /tmp/done_hc_collect
 
-# 2. Flagship retrain on the full mix (host expert + physics engine + dagger)
+# 2. Flagship retrain on the r2d-style mix (host expert + physics engine;
+#    dagger_agg deliberately excluded: its 2000x48-step segments swamped the
+#    r3 mix and sank hc_r3 to -4.5)
 python scripts/train.py \
-  --dataset "npz:data/halfcheetah_mppi.npz+npz:data/halfcheetah_engine_r4.npz+npz:data/hc_dagger_agg.npz" \
+  --dataset "npz:data/halfcheetah_mppi.npz+npz:data/halfcheetah_engine_r4.npz" \
   --horizon 32 --dim 128 --dim-mults 1 4 8 --n-timesteps 100 \
   --n-epochs 60 --batch-size 256 --lr 2e-4 \
   --log-dir logs --run-name hc_r4 --seed 42 && touch /tmp/done_hc_train
 
 CKPT=$(ls -t logs/*/hc_r4/checkpoint_step_*.orbax -d | head -1)
-DATA="npz:data/halfcheetah_mppi.npz+npz:data/halfcheetah_engine_r4.npz+npz:data/hc_dagger_agg.npz"
+DATA="npz:data/halfcheetah_mppi.npz+npz:data/halfcheetah_engine_r4.npz"
 
 # 3. Headline at n=30 (statistical power, VERDICT #6)
 python scripts/evaluate.py --checkpoint "$CKPT" --dataset "$DATA" \
