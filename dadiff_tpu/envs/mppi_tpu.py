@@ -140,6 +140,7 @@ def collect_mppi_tpu_episodes(
     sim_ensemble: int = 1,
     dynamics_backend: str = "learned",
     physics_solver_iters: int = 100,
+    checkpoint_path: Optional[str] = None,
     seed: int = 0,
     verbose: bool = True,
 ) -> List[dict]:
@@ -274,6 +275,16 @@ def collect_mppi_tpu_episodes(
             env_seed += 10 * (target + batch_envs)
             collected.extend(new_eps)
             pool.extend(new_eps)
+            if checkpoint_path:
+                # long multi-hour collections survive a wedged device
+                # call / preemption: everything gathered so far persists
+                # after every iteration batch
+                from dadiff_tpu.datasets.sources import save_episodes_npz
+
+                save_episodes_npz(checkpoint_path, collected)
+                if verbose:
+                    print(f"[mppi-tpu] checkpointed {len(collected)} "
+                          f"episodes -> {checkpoint_path}", flush=True)
     finally:
         for e in envs:
             e.close()

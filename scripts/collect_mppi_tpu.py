@@ -92,6 +92,7 @@ def main():
         sim_ensemble=args.sim_ensemble,
         dynamics_backend=args.backend,
         physics_solver_iters=args.physics_solver_iters,
+        checkpoint_path=args.out,
         seed=args.seed,
     )
     dt = time.time() - t0
