@@ -33,12 +33,24 @@ import sys
 import time
 
 
+def _sync(out):
+    """Force completion via a device->host transfer.
+
+    block_until_ready does NOT reliably block on the axon platform (it
+    returned before the serving megakernel program finished, producing
+    negative marginal times); materializing the value is the only sync
+    that holds everywhere.
+    """
+    import numpy as _np
+
+    return _np.asarray(out)
+
+
 def median_time(fn, n=7):
     times = []
     for i in range(n):
         t0 = time.time()
-        out = fn(i)
-        out.block_until_ready()
+        _sync(fn(i))
         times.append(time.time() - t0)
     return statistics.median(times)
 
@@ -82,8 +94,8 @@ def main():
         # host's per-call tunnel-RPC jitter, so the marginal cost is stable
         # run to run.
         f1, f2 = multi_chain(k1, chain_fn), multi_chain(k2, chain_fn)
-        f1(params, jax.random.PRNGKey(0)).block_until_ready()
-        f2(params, jax.random.PRNGKey(0)).block_until_ready()
+        _sync(f1(params, jax.random.PRNGKey(0)))
+        _sync(f2(params, jax.random.PRNGKey(0)))
         t1 = median_time(lambda i: f1(params, jax.random.PRNGKey(i)))
         t2 = median_time(lambda i: f2(params, jax.random.PRNGKey(i)))
         return (t2 - t1) / (k2 - k1)
@@ -116,7 +128,7 @@ def main():
 
     # single-wave latency (includes this host's ~25-30 ms tunnel RPC)
     serve_1 = jax.jit(serve)
-    serve_1(params, jax.random.PRNGKey(0)).block_until_ready()
+    _sync(serve_1(params, jax.random.PRNGKey(0)))
     dt_call = median_time(lambda i: serve_1(params, jax.random.PRNGKey(i)))
 
     # ---- secondary: unguided batch-1 latency kernel (round-2 headline)

@@ -55,6 +55,11 @@ def main(argv=None):
                         "returns bounded by docs/surrogate_protocol.md.")
     p.add_argument("--solver-iters", type=int, default=100,
                    help="physics backend: PGS constraint-solver iterations")
+    p.add_argument("--solver", type=str, default="pgs",
+                   choices=["pgs", "jacobi"],
+                   help="physics backend constraint solver; 'jacobi' "
+                        "(parallel FISTA) keeps the compiled program far "
+                        "shallower — use it for long on-chip loops")
     p.add_argument("--skip-conditioned-action", action="store_true",
                    help="start execution at plan row 1 (the host MPC "
                         "locomotion protocol; physics backend only)")
@@ -94,7 +99,8 @@ def main(argv=None):
 
         print("backend: exact planar physics (no simulator fit; returns "
               "are real, bound: results/physics_bound_*.json)", flush=True)
-        phys_env = physics_env_for(args.env, solver_iters=args.solver_iters)
+        phys_env = physics_env_for(args.env, solver_iters=args.solver_iters,
+                                   solver=args.solver)
         metrics = {"r2_mean": 1.0, "r2_min": 1.0}
         evaluate = make_physics_locomotion_evaluator(
             diffusion, phys_env,
