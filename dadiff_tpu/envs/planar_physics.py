@@ -211,11 +211,38 @@ def extract_planar_model(
                       (m.geom_contype[floor] & m.geom_conaffinity[g])
         if not can_collide:
             continue
-        # mixed contact params exactly as MuJoCo combines pairs:
-        # friction = max, solref = min (harder), solimp = max impedance
-        fric = max(m.geom_friction[g][0], m.geom_friction[floor][0])
-        solref = np.minimum(m.geom_solref[g], m.geom_solref[floor])
-        solimp = np.maximum(m.geom_solimp[g], m.geom_solimp[floor])
+        # mixed contact params exactly as MuJoCo combines geom pairs
+        # (mj_contactParam in engine_collision_driver.c): friction = max;
+        # unequal geom priority takes the higher-priority geom's params
+        # verbatim; equal priority takes the solmix-weighted mean of
+        # solimp and of standard (positive-timeconst) solref, with
+        # direct/negative solref falling back to the elementwise min.
+        # For the shipped envs (geom and floor share defaults) this
+        # reduces to the params themselves — pinned by the MuJoCo
+        # parity tests in tests/test_planar_physics.py.
+        p_g, p_f = int(m.geom_priority[g]), int(m.geom_priority[floor])
+        if p_g != p_f:
+            hi = g if p_g > p_f else floor
+            fric = m.geom_friction[hi][0]
+            solref = np.array(m.geom_solref[hi], dtype=np.float64)
+            solimp = np.array(m.geom_solimp[hi], dtype=np.float64)
+        else:
+            fric = max(m.geom_friction[g][0], m.geom_friction[floor][0])
+            s1 = float(m.geom_solmix[g])
+            s2 = float(m.geom_solmix[floor])
+            if s1 >= mujoco.mjMINVAL and s2 >= mujoco.mjMINVAL:
+                mix = s1 / (s1 + s2)
+            elif s1 < mujoco.mjMINVAL and s2 < mujoco.mjMINVAL:
+                mix = 0.5
+            else:
+                mix = 0.0 if s1 < mujoco.mjMINVAL else 1.0
+            if m.geom_solref[g][0] > 0 and m.geom_solref[floor][0] > 0:
+                solref = mix * m.geom_solref[g] \
+                    + (1.0 - mix) * m.geom_solref[floor]
+            else:
+                solref = np.minimum(m.geom_solref[g], m.geom_solref[floor])
+            solimp = mix * m.geom_solimp[g] \
+                + (1.0 - mix) * m.geom_solimp[floor]
         R = _quat_rot(m.geom_quat[g])
         center = m.geom_pos[g][[0, 2]]
         if gtype == mujoco.mjtGeom.mjGEOM_CAPSULE:

@@ -30,6 +30,8 @@ class RolloutMetrics(NamedTuple):
     success_rate: jax.Array  # () fraction of envs that ever reached the goal
     mean_reward: jax.Array  # () mean total reward per env
     mean_final_distance: jax.Array  # () mean distance to goal at end
+    per_env_reward: Optional[jax.Array] = None  # (B,) total reward per env
+    per_env_success: Optional[jax.Array] = None  # (B,) bool ever-at-goal
 
 
 def make_ondevice_evaluator(
@@ -253,6 +255,8 @@ def make_ondevice_evaluator(
             success_rate=jnp.mean(succeeded.astype(jnp.float32)),
             mean_reward=jnp.mean(total_reward),
             mean_final_distance=jnp.mean(final_dist),
+            per_env_reward=total_reward,
+            per_env_success=succeeded,
         )
         return metrics, state
 

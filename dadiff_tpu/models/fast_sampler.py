@@ -1,5 +1,9 @@
 """Latency-tuned sequential sampler: minimal per-step op count.
 
+PROBE-ONLY (ablation evidence): superseded on the quality path by the
+pallas megakernel (ops/pallas_planner.py); kept as the measured
+hoisted-coefficient ablation generation (RESULTS.md r2 latency curve).
+
 The standard scan body spends a noticeable fraction of its ~0.3 ms on small
 ops that do not depend on the iterate: the timestep-embedding MLP and six
 coefficient gathers from the schedule. Here both are hoisted out of the scan

@@ -1,5 +1,9 @@
 """Launch-minimal U-Net forward built on the fused Pallas residual block.
 
+PROBE-ONLY (ablation evidence): superseded on the quality path by the
+pallas megakernel (ops/pallas_planner.py); kept as the measured
+per-block-fusion ablation generation (RESULTS.md r2 latency curve).
+
 Consumes the standard TemporalUnet parameter pytree (so checkpoints are
 interchangeable) but executes each ResidualTemporalBlock as ONE Pallas kernel
 (ops/pallas_resblock.py) instead of ~7 XLA kernels — aimed at the batch-1

@@ -1,5 +1,9 @@
 """Fully-fused ResidualTemporalBlock as one Pallas kernel.
 
+PROBE-ONLY (ablation evidence): superseded on the quality path by the
+pallas megakernel (ops/pallas_planner.py); kept as the measured
+single-block-kernel ablation generation (RESULTS.md r2 latency curve).
+
 Batch-1 planning latency is launch-bound: a U-Net step issues ~38 small
 kernels (convs, norms, adds) of ~8µs each. This kernel collapses one whole
 ResidualTemporalBlock (reference temporal_unet.py:79-122) —

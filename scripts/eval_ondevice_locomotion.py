@@ -24,7 +24,48 @@ except ImportError:  # imported as scripts.<name>: root already on path
     pass
 import argparse
 import json
+import os
 import time
+
+
+def _check_chunk_bound(args):
+    """Refuse physics-backend runs whose executed chunk length exceeds the
+    env's measured K* quotability bound (VERDICT r4 #4).
+
+    The bound artifacts are produced by scripts/physics_bound.py and
+    committed as results/physics_bound_<env>_float32.json; K* is the
+    largest replayed chunk length whose p90 K-step return error stays
+    within 10% of the real-env return magnitude. Running a longer
+    --action-horizon silently would produce numbers the bound does not
+    cover.
+    """
+    env_key = args.env.replace("/", "_").replace("-", "_")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))),
+        "results", f"physics_bound_{env_key}_float32.json")
+    if not os.path.exists(path):
+        print(f"WARNING: no measured chunk bound at {path}; returns are "
+              "unbounded by measurement — run scripts/physics_bound.py",
+              flush=True)
+        return
+    with open(path) as f:
+        bound = json.load(f)
+    rows = bound.get("distributions", {}).get("heldout", {}).get("rows", [])
+    quotable = [r["K"] for r in rows if r.get("quotable")]
+    k_star = max(quotable) if quotable else 0
+    if args.action_horizon > k_star:
+        msg = (f"--action-horizon {args.action_horizon} exceeds the "
+               f"measured K* = {k_star} for {args.env} at float32 "
+               f"({path}): per-chunk returns are not quotable as "
+               "real-env numbers at this length.")
+        if args.allow_unquotable:
+            print("WARNING: " + msg + " Proceeding (--allow-unquotable).",
+                  flush=True)
+        else:
+            raise SystemExit(msg + " Pass --allow-unquotable to override.")
+    else:
+        print(f"chunk bound OK: action_horizon {args.action_horizon} <= "
+              f"K* = {k_star} ({path})", flush=True)
 
 
 def main(argv=None):
@@ -65,6 +106,14 @@ def main(argv=None):
                         "locomotion protocol; physics backend only)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device", type=str, default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--results-dir", type=str, default="./results",
+                   help="directory for the timestamped results JSON "
+                        "(same schema as scripts/evaluate.py; '' disables)")
+    p.add_argument("--allow-unquotable", action="store_true",
+                   help="physics backend: run even when --action-horizon "
+                        "exceeds the env's measured K* chunk bound "
+                        "(results/physics_bound_*_float32.json); returns "
+                        "are then NOT quotable as real-env numbers")
     args = p.parse_args(argv)
 
     from dadiff_tpu.cli import _select_device, load_model
@@ -99,9 +148,12 @@ def main(argv=None):
 
         print("backend: exact planar physics (no simulator fit; returns "
               "are real, bound: results/physics_bound_*.json)", flush=True)
+        _check_chunk_bound(args)
         phys_env = physics_env_for(args.env, solver_iters=args.solver_iters,
                                    solver=args.solver)
-        metrics = {"r2_mean": 1.0, "r2_min": 1.0}
+        # exact dynamics: there is no fitted simulator, hence no held-out
+        # R^2 to report (ADVICE r4: do not fabricate 1.0)
+        metrics = {"r2_mean": None, "r2_min": None}
         evaluate = make_physics_locomotion_evaluator(
             diffusion, phys_env,
             action_horizon=args.action_horizon, n_replans=args.n_replans,
@@ -170,7 +222,8 @@ def main(argv=None):
         "mean_alive_length": round(float(mean_len), 1),
         "wall_clock_s": round(dt, 3),
         "episodes_per_hour_per_chip": round(args.batch / dt * 3600.0, 1),
-        "simulator_r2_mean": round(metrics["r2_mean"], 4),
+        "simulator_r2_mean": (None if metrics["r2_mean"] is None
+                              else round(metrics["r2_mean"], 4)),
         "note": ("REAL returns: exact planar-physics dynamics (one-step "
                  "parity with host MuJoCo pinned in tests/"
                  "test_planar_physics.py; K-step bound in results/"
@@ -179,6 +232,40 @@ def main(argv=None):
                  "host-env MPC eval is ground truth"),
     }
     print(json.dumps(result))
+    if args.results_dir:
+        # persist the same results/ schema the host protocol uses
+        # (VERDICT r4 weak #3: headline numbers must leave artifacts)
+        from dadiff_tpu.envs.host import save_results
+
+        ep_returns = [float(r) for r in np.asarray(returns)]
+        path = save_results(
+            {
+                "mean_reward": float(mean_ret),
+                "std_reward": float(jnp.std(returns)),
+                "mean_length": float(mean_len),
+                "std_length": 0.0,
+                "success_rate": None,
+                "episode_rewards": ep_returns,
+                "episode_lengths": [n_steps] * args.batch,
+            },
+            policy_type=f"ondevice-{args.backend}",
+            env_name=args.env,
+            results_dir=args.results_dir,
+            checkpoint=args.checkpoint,
+            dataset=args.dataset,
+            n_episodes=args.batch,
+            sampling_timesteps=args.sampling_timesteps,
+            seed=args.seed,
+            extra={k: v for k, v in result.items()
+                   if k not in ("env",)} | {
+                "action_horizon": args.action_horizon,
+                "n_replans": args.n_replans,
+                "solver": args.solver if physics else None,
+                "solver_iters": args.solver_iters if physics else None,
+                "skip_conditioned_action": args.skip_conditioned_action,
+            },
+        )
+        print(f"results saved to {path}")
     return result
 
 

@@ -51,8 +51,10 @@ python scripts/distill.py --method progressive --checkpoint "$CKPT" \
 # then evaluate the PD student at its few-call budget (see distill.py docs)
 
 # 7. On-device TRUE-PHYSICS eval A/B vs the host number from step 3
+#    (--solver jacobi: the solver that produced the documented r4 number;
+#     the K* bound itself was measured with the default PGS — RESULTS.md)
 python scripts/eval_ondevice_locomotion.py --checkpoint "$CKPT" \
-  --dataset "$DATA" --env HalfCheetah-v5 --backend physics \
+  --dataset "$DATA" --env HalfCheetah-v5 --backend physics --solver jacobi \
   --batch 30 --n-replans 62 --action-horizon 16 --skip-conditioned-action \
   --seed 42
 
