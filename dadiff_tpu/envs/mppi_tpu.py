@@ -41,6 +41,8 @@ def make_mppi_planner(
     lam: float = 0.3,
     sigma: float = 0.4,
     n_exec: int = 1,
+    noise_beta: float = 0.0,
+    smooth_weight: float = 0.0,
     jit: bool = True,
 ):
     """Build a jitted batched MPPI planner over an arbitrary on-device model.
@@ -61,6 +63,18 @@ def make_mppi_planner(
             k > 1 actions open-loop between replans divides the host↔device
             round trips by k (the dominant cost on a tunneled TPU) at a
             small closed-loop quality cost.
+        noise_beta: AR(1) coefficient of the exploration noise along the
+            horizon (0 = white). ``n_t = beta*n_{t-1} + sqrt(1-beta^2)*eps``
+            keeps the stationary std at ``sigma`` but low-passes the
+            candidate action sequences — the gait-smoothness lever the r4
+            physics-engine-data negative identified (RESULTS.md [r4]
+            "True-physics MPPI data engine": exact-physics search executes
+            jerky bang-bang gaits that do not distill into a diffusion-MPC
+            policy).
+        smooth_weight: jerk penalty in the candidate score — subtracts
+            ``w * sum_t ||a_{t+1} - a_t||^2`` from each candidate's return
+            before the MPPI softmax, biasing selection (and therefore the
+            executed gait) toward temporally smooth action sequences.
 
     Returns:
         ``plan(rng, obs (B, d), mean (B, H, m)) -> (actions (B, n_exec, m),
@@ -75,6 +89,20 @@ def make_mppi_planner(
     def plan(rng, obs, mean):
         B = obs.shape[0]
         noise = jax.random.normal(rng, (n_samples, B, horizon, act_dim))
+        if noise_beta > 0.0:
+            # AR(1) low-pass along the horizon, unit stationary variance
+            scale = jnp.sqrt(1.0 - noise_beta**2)
+
+            def ar(carry, eps):
+                carry = noise_beta * carry + scale * eps
+                return carry, carry
+
+            _, colored = jax.lax.scan(
+                ar,
+                jnp.zeros((n_samples, B, act_dim)),
+                jnp.moveaxis(noise, 2, 0),
+            )
+            noise = jnp.moveaxis(colored, 0, 2)
         seqs = jnp.clip(mean[None] + sigma * noise, -1.0, 1.0)
 
         obs0 = jnp.broadcast_to(obs[None], (n_samples,) + obs.shape)
@@ -98,6 +126,11 @@ def make_mppi_planner(
             body, init, jnp.moveaxis(seqs, 2, 0)
         )
 
+        if smooth_weight > 0.0:
+            diff = seqs[:, :, 1:] - seqs[:, :, :-1]
+            returns = returns - smooth_weight * jnp.sum(
+                diff * diff, axis=(2, 3)
+            )
         w = jax.nn.softmax((returns - returns.max(0)) / lam, axis=0)  # (N, B)
         new_mean = jnp.einsum("nb,nbhm->bhm", w, seqs)
         actions = jnp.clip(new_mean[:, :n_exec], -1.0, 1.0)
@@ -133,7 +166,10 @@ def collect_mppi_tpu_episodes(
     lam: float = 0.3,
     sigma: float = 0.4,
     n_exec: int = 1,
+    noise_beta: float = 0.0,
+    smooth_weight: float = 0.0,
     explore_sigma: float = 0.0,
+    explore_beta: float = 0.0,
     n_iterations: int = 3,
     sim_hidden: Tuple[int, ...] = (256, 256),
     sim_steps: int = 4000,
@@ -155,6 +191,12 @@ def collect_mppi_tpu_episodes(
     ``sim_ensemble > 1`` trains an E-member ensemble and evaluates each MPPI
     candidate under one member (PETS-style trajectory sampling), which
     suppresses single-model exploitation.
+
+    ``noise_beta``/``smooth_weight`` are the planner's gait-smoothness
+    levers (see make_mppi_planner); ``explore_beta`` low-passes the
+    EXECUTION-time exploration noise the same way (AR(1) across executed
+    steps, stationary std ``explore_sigma``) so the recovery-diversity
+    noise does not itself inject jerk into the recorded gaits.
 
     Returns the newly collected episodes (not the seed data), standard
     episode-dict format.
@@ -254,6 +296,8 @@ def collect_mppi_tpu_episodes(
                 lam=lam,
                 sigma=sigma,
                 n_exec=n_exec,
+                noise_beta=noise_beta,
+                smooth_weight=smooth_weight,
             )
 
             target = min(per_iter, n_episodes - len(collected))
@@ -269,6 +313,7 @@ def collect_mppi_tpu_episodes(
                 env_seed,
                 jnp,
                 jax,
+                explore_beta=explore_beta,
                 verbose=verbose,
                 tag=f"iter {it}",
             )
@@ -529,6 +574,7 @@ def _collect_batch(
     env_seed,
     jnp,
     jax,
+    explore_beta=0.0,
     verbose=True,
     tag="",
 ):
@@ -544,6 +590,10 @@ def _collect_batch(
     noisy = np.zeros(B, bool)
     if explore_sigma > 0:
         noisy[: max(1, B // 3)] = True
+    # AR(1) state of the execution noise (explore_beta > 0: colored noise
+    # with stationary std explore_sigma — smooth recovery perturbations)
+    exec_noise_state = np.zeros((B, act_dim))
+    exec_scale = float(np.sqrt(max(1.0 - explore_beta**2, 0.0)))
 
     for i in range(B):
         o, _ = envs[i].reset(seed=env_seed + i)
@@ -560,7 +610,17 @@ def _collect_batch(
         mean = np.array(mean_j)      # array is a read-only view)
         n_exec = actions.shape[1]
         if explore_sigma > 0:
-            noise = rng.randn(B, n_exec, act_dim) * explore_sigma
+            if explore_beta > 0:
+                cols = []
+                for _ in range(n_exec):
+                    exec_noise_state[:] = (
+                        explore_beta * exec_noise_state
+                        + exec_scale * rng.randn(B, act_dim)
+                    )
+                    cols.append(exec_noise_state.copy())
+                noise = np.stack(cols, axis=1) * explore_sigma
+            else:
+                noise = rng.randn(B, n_exec, act_dim) * explore_sigma
             actions = np.where(
                 noisy[:, None, None],
                 np.clip(actions + noise, -1.0, 1.0),
@@ -599,6 +659,7 @@ def _collect_batch(
                                "act": [], "rew": []}
                     steps[i] = 0
                     mean[i] = 0.0
+                    exec_noise_state[i] = 0.0
                     break
             if len(episodes) >= n_episodes:
                 break

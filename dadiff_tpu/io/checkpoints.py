@@ -42,7 +42,20 @@ def restore_native(path: str, target) -> Tuple[Any, Dict[str, Any]]:
     base = path[:-len(".orbax")] if path.endswith(".orbax") else path
     ckpt_dir = os.path.abspath(base + ".orbax")
     with ocp.PyTreeCheckpointer() as checkpointer:
-        state = checkpointer.restore(ckpt_dir, item=jax.device_get(target))
+        try:
+            state = checkpointer.restore(ckpt_dir, item=jax.device_get(target))
+        except ValueError:
+            # Checkpoints from EMA-less trainers (e.g. the progressive-
+            # distillation rounds) store ema_params as a None leaf; a
+            # template carrying a full EMA tree then fails the structure
+            # match. Retry with the optional subtree dropped.
+            if not (hasattr(target, "replace")
+                    and hasattr(target, "ema_params")):
+                raise
+            fallback = target.replace(ema_params=None)
+            state = checkpointer.restore(
+                ckpt_dir, item=jax.device_get(fallback)
+            )
     meta: Dict[str, Any] = {}
     meta_path = base + ".meta.json"
     if os.path.exists(meta_path):

@@ -44,6 +44,18 @@ def main():
     p.add_argument("--explore-sigma", type=float, default=0.0,
                    help="execution-time action noise on 1/3 of the envs "
                         "(diversity/recovery data)")
+    p.add_argument("--noise-beta", type=float, default=0.0,
+                   help="AR(1) low-pass coefficient of the MPPI search "
+                        "noise along the horizon (0 = white) — the "
+                        "gait-smoothness lever (RESULTS.md r4 engine-data "
+                        "diagnosis)")
+    p.add_argument("--smooth-weight", type=float, default=0.0,
+                   help="jerk penalty weight in the MPPI candidate score: "
+                        "w * sum ||a_{t+1}-a_t||^2 subtracted from returns")
+    p.add_argument("--explore-beta", type=float, default=0.0,
+                   help="AR(1) low-pass of the execution-time exploration "
+                        "noise (0 = white; stationary std stays "
+                        "--explore-sigma)")
     p.add_argument("--iterations", type=int, default=3)
     p.add_argument("--sim-steps", type=int, default=4000)
     p.add_argument("--sim-hidden", type=int, nargs="+", default=[256, 256])
@@ -58,9 +70,13 @@ def main():
     p.add_argument("--physics-solver-iters", type=int, default=60)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, required=True)
+    p.add_argument("--device", type=str, default="tpu",
+                   choices=["tpu", "cpu"],
+                   help="cpu = host-only smoke runs (keeps the chip free)")
     args = p.parse_args()
 
-    from dadiff_tpu.cli import enable_compilation_cache
+    from dadiff_tpu.cli import _select_device, enable_compilation_cache
+    _select_device(args.device)
     enable_compilation_cache()
 
     from dadiff_tpu.datasets.sources import load_episodes, save_episodes_npz
@@ -85,7 +101,10 @@ def main():
         lam=args.lam,
         sigma=args.sigma,
         n_exec=args.n_exec,
+        noise_beta=args.noise_beta,
+        smooth_weight=args.smooth_weight,
         explore_sigma=args.explore_sigma,
+        explore_beta=args.explore_beta,
         n_iterations=args.iterations,
         sim_steps=args.sim_steps,
         sim_hidden=tuple(args.sim_hidden),

