@@ -119,15 +119,27 @@ def main(argv=None):
     batched = run_phase(concurrency=K, n_clients=K)
     serialized = run_phase(concurrency=1, n_clients=1)  # stability re-check
 
-    solo_ms = statistics.median(solo + serialized) * 1e3
+    def _p(lats, q):
+        return round(sorted(lats)[min(len(lats) - 1,
+                                      int(q * len(lats)))] * 1e3, 1)
+
+    solo_all = solo + serialized
+    solo_ms = statistics.median(solo_all) * 1e3
     conc_ms = statistics.median(batched) * 1e3
     print(json.dumps({
         "solo_replan_ms": round(solo_ms, 1),
+        "solo_p50_ms": _p(solo_all, 0.50),
+        "solo_p95_ms": _p(solo_all, 0.95),
         f"concurrent_{K}_replan_ms": round(conc_ms, 1),
+        f"concurrent_{K}_p50_ms": _p(batched, 0.50),
+        f"concurrent_{K}_p95_ms": _p(batched, 0.95),
         "slowdown_x": round(conc_ms / solo_ms, 2),
         "target": "< 2.0 (vs ~%d under serialized serving)" % K,
         "n_candidates": args.n_candidates,
         "policy_type": args.policy_type,
+        "sampler": args.sampler,
+        "sampling_timesteps": args.sampling_timesteps,
+        "warm_start_t": args.warm_start_t,
     }))
 
 
