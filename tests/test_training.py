@@ -198,3 +198,33 @@ def test_trainer_validation_probe(tmp_path, small_diffusion, dataset):
         export_pt=False,
     )
     assert trainer2.evaluate() is None
+
+
+def test_restore_native_tolerates_emaless_checkpoint(tmp_path):
+    """Checkpoints written by EMA-less trainers (progressive-distillation
+    rounds store ema_params=None as a leaf) must restore through a
+    template that carries a full EMA tree (io/checkpoints.py fallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dadiff_tpu.io.checkpoints import restore_native, save_native
+    from dadiff_tpu.utils.training import TrainState, make_optimizer
+
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    opt = make_optimizer(1e-3)
+    saved = TrainState(step=jnp.asarray(7), params=params,
+                       opt_state=opt.init(params), ema_params=None)
+    base = str(tmp_path / "ckpt")
+    save_native(base, saved, config={"x": 1}, epoch=3)
+
+    template = TrainState(
+        step=jnp.asarray(0), params=jax.tree_util.tree_map(jnp.zeros_like,
+                                                           params),
+        opt_state=opt.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.zeros_like, params),
+    )
+    state, meta = restore_native(base, template)
+    assert int(state.step) == 7
+    assert state.ema_params is None
+    assert float(state.params["w"][0]) == 1.0
+    assert meta["config"] == {"x": 1}
