@@ -6,6 +6,13 @@
 set -x
 cd "$(dirname "$0")/.."
 
+# 0. The quick headline-debt items first (formerly r5_phase4.sh: replication
+#    of the r4 best cell on fresh seeds + artifact re-emission of the r4
+#    on-device headline runs) so they land even if the round runs out of
+#    wall-clock mid-phase.
+bash scripts/r5_phase4.sh
+echo PHASE2_QUICK_DONE
+
 # 1. Smoothed physics-engine collection (r4 run minus jerk: AR(1) search
 #    noise beta=0.85, jerk penalty 0.02, colored execution noise)
 timeout 14400 python scripts/collect_mppi_tpu.py --env HalfCheetah-v5 --backend physics \

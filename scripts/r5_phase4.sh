@@ -1,8 +1,11 @@
 #!/bin/bash
 # Round-5 phase 4: headline-cell replication + on-device artifact
 # re-emission (VERDICT r5 items 4 and 5). Serial — one chip.
+# Invoked at the TOP of r5_phase2.sh (priority ordering); guarded so a
+# second invocation by the phase driver is a no-op.
 set -x
 cd "$(dirname "$0")/.."
+if [ -f /tmp/r5_phase4_done ]; then echo PHASE4_ALREADY_DONE; exit 0; fi
 
 HC="logs/npz_data_halfcheetah_mppi.npz+npz_data_halfcheetah_engine_r4b.npz/hc_r4b/checkpoint_step_52200.orbax"
 HCD="npz:data/halfcheetah_mppi.npz+npz:data/halfcheetah_engine_r4b.npz"
@@ -26,4 +29,5 @@ timeout 3600 python scripts/eval_ondevice.py --checkpoint "$PMM" \
   --dataset npz:data/pointmaze_medium_expert400.npz --map medium \
   --batch 128 --n-replans 38 --action-horizon 16 \
   --projection --wall-aware --n-candidates 8 --wall-slack 0.03 --seed 42
+touch /tmp/r5_phase4_done
 echo PHASE4_ALL_DONE
