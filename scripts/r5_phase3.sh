@@ -3,68 +3,51 @@
 # (VERDICT r5 item 3). Regenerates the r2 engine recipe hermetically from
 # committed seeds, retrains both flagships, measures host vs on-device
 # exact-physics returns at n=30 on the SAME checkpoints, and re-measures
-# Walker's K* bound on >50 long segments. Serial — one chip.
+# both K* bounds on >50 long segments. Ordered Hopper-complete-first so a
+# wall-clock cutoff still leaves one env fully measured; the CPU-only
+# physics_bound runs go in the background off the chip's critical path.
 set -x
 cd "$(dirname "$0")/.."
 
-# 1. Engine data (r2 recipe: learned-sim ensemble MPPI, RESULTS.md [r2])
-for E in hopper:Hopper-v5 walker2d:Walker2d-v5; do
-  N=${E%%:*}; ENV=${E##*:}
+run_env () {  # $1 short name, $2 env id, $3 run name, $4 n-replans
+  N=$1; ENV=$2; RUN=$3; NREP=$4
   timeout 7200 python scripts/collect_mppi_tpu.py --env $ENV \
     --seed-data npz:data/${N}_mppi.npz npz:data/${N}_random.npz \
     --episodes 200 --batch-envs 16 --horizon 12 --n-samples 1024 \
     --n-exec 4 --iterations 8 --sim-steps 12000 --sim-hidden 512 512 \
     --sim-ensemble 4 --explore-sigma 0.15 --seed 5 \
     --out data/${N}_engine_r5.npz
-done
-echo PHASE3_COLLECT_DONE
+  # K* bound re-measurement on the fresh long-segment pool runs on CPU,
+  # concurrently with the chip jobs below (VERDICT r4 weak #4)
+  ( timeout 10800 python scripts/physics_bound.py --env $ENV \
+      --data npz:data/${N}_mppi.npz npz:data/${N}_engine_r5.npz \
+      --k 1 2 4 8 16 32 64 128 --max-segments 512 --device cpu \
+      --out results/physics_bound_${ENV//-/_}_float32.json \
+      > /tmp/r5_bound_${N}.log 2>&1 ) &
 
-# 2. Train both flagships on the mppi+engine mix (r2 recipe)
-timeout 14400 python scripts/train.py \
-  --dataset "npz:data/hopper_mppi.npz+npz:data/hopper_engine_r5.npz" \
-  --horizon 32 --dim 128 --dim-mults 1 4 8 --n-timesteps 100 \
-  --n-epochs 60 --batch-size 256 --lr 2e-4 \
-  --log-dir logs --run-name hop_r5 --seed 42
-timeout 14400 python scripts/train.py \
-  --dataset "npz:data/walker2d_mppi.npz+npz:data/walker2d_engine_r5.npz" \
-  --horizon 32 --dim 128 --dim-mults 1 4 8 --n-timesteps 100 \
-  --n-epochs 60 --batch-size 256 --lr 2e-4 \
-  --log-dir logs --run-name wlk_r5 --seed 42
-echo PHASE3_TRAIN_DONE
+  timeout 14400 python scripts/train.py \
+    --dataset "npz:data/${N}_mppi.npz+npz:data/${N}_engine_r5.npz" \
+    --horizon 32 --dim 128 --dim-mults 1 4 8 --n-timesteps 100 \
+    --n-epochs 60 --batch-size 256 --lr 2e-4 \
+    --log-dir logs --run-name $RUN --seed 42
 
-HOP=$(ls -d "logs/npz_data_hopper_mppi.npz+npz_data_hopper_engine_r5.npz/hop_r5"/checkpoint_step_*.orbax | sort -t_ -k3 -n | tail -1)
-WLK=$(ls -d "logs/npz_data_walker2d_mppi.npz+npz_data_walker2d_engine_r5.npz/wlk_r5"/checkpoint_step_*.orbax | sort -t_ -k3 -n | tail -1)
-HOPD="npz:data/hopper_mppi.npz+npz:data/hopper_engine_r5.npz"
-WLKD="npz:data/walker2d_mppi.npz+npz:data/walker2d_engine_r5.npz"
+  CKPT=$(ls -d "logs/npz_data_${N}_mppi.npz+npz_data_${N}_engine_r5.npz/$RUN"/checkpoint_step_*.orbax | sort -t_ -k3 -n | tail -1)
+  DATA="npz:data/${N}_mppi.npz+npz:data/${N}_engine_r5.npz"
 
-# 3. Host protocol (ground truth), ah=1 (the balance-task best), n=30
-timeout 7200 python scripts/evaluate.py --checkpoint "$HOP" --dataset "$HOPD" \
-  --env Hopper-v5 --policy-type mpc --action-horizon 1 \
-  --skip-conditioned-action --n-episodes 30 --seed 42 --batched
-timeout 7200 python scripts/evaluate.py --checkpoint "$WLK" --dataset "$WLKD" \
-  --env Walker2d-v5 --policy-type mpc --action-horizon 1 \
-  --skip-conditioned-action --n-episodes 30 --seed 42 --batched
-echo PHASE3_HOST_DONE
+  # host protocol (ground truth), ah=1 (the balance-task best), n=30
+  timeout 7200 python scripts/evaluate.py --checkpoint "$CKPT" --dataset "$DATA" \
+    --env $ENV --policy-type mpc --action-horizon 1 \
+    --skip-conditioned-action --n-episodes 30 --seed 42 --batched
 
-# 4. Walker K* bound re-measured on the fresh long-segment pool
-#    (VERDICT r4 weak #4: the committed bound rests on ~18 segments)
-timeout 7200 python scripts/physics_bound.py --env Walker2d-v5 \
-  --data npz:data/walker2d_mppi.npz npz:data/walker2d_engine_r5.npz \
-  --k 1 2 4 8 16 --max-segments 512 \
-  --out results/physics_bound_Walker2d_v5_float32.json
-timeout 7200 python scripts/physics_bound.py --env Hopper-v5 \
-  --data npz:data/hopper_mppi.npz npz:data/hopper_engine_r5.npz \
-  --k 4 8 16 32 64 128 --max-segments 512 \
-  --out results/physics_bound_Hopper_v5_float32.json
-echo PHASE3_BOUND_DONE
+  # wait for the fresh K* bound before the guarded on-device run
+  wait
+  timeout 7200 python scripts/eval_ondevice_locomotion.py --checkpoint "$CKPT" \
+    --dataset "$DATA" --env $ENV --backend physics --solver jacobi \
+    --batch 30 --n-replans 992 --action-horizon 1 --skip-conditioned-action \
+    --seed 42
+  echo PHASE3_${RUN}_DONE
+}
 
-# 5. On-device exact-physics A/B on the same checkpoints, n=30
-timeout 7200 python scripts/eval_ondevice_locomotion.py --checkpoint "$HOP" \
-  --dataset "$HOPD" --env Hopper-v5 --backend physics --solver jacobi \
-  --batch 30 --n-replans 992 --action-horizon 1 --skip-conditioned-action \
-  --seed 42
-timeout 7200 python scripts/eval_ondevice_locomotion.py --checkpoint "$WLK" \
-  --dataset "$WLKD" --env Walker2d-v5 --backend physics --solver jacobi \
-  --batch 30 --n-replans 992 --action-horizon 1 --skip-conditioned-action \
-  --seed 42
+run_env hopper Hopper-v5 hop_r5 992
+run_env walker2d Walker2d-v5 wlk_r5 992
 echo PHASE3_ALL_DONE
