@@ -54,6 +54,7 @@ class BatchedPlanner:
         *,
         max_batch: int = 8,
         window_ms: float = 5.0,
+        prewarm: bool = True,
     ):
         import jax
         import jax.numpy as jnp
@@ -97,6 +98,23 @@ class BatchedPlanner:
         self._solo_plan = plan1
         self._jnp = jnp
         self._jax = jax
+
+        if prewarm:
+            # compile every padded batch shape (powers of two up to
+            # max_batch) at construction, so the first concurrent burst a
+            # live server sees pays zero compiles — without this, one
+            # client's p95 eats a multi-second compile (measured: 31 s
+            # p95 on the first 4-client burst, RESULTS.md [r5] serving)
+            k0 = jax.random.PRNGKey(0)
+            v0 = jnp.zeros((horizon, trans_dim), jnp.float32)
+            k_pad = 1
+            while True:
+                jax.block_until_ready(self._vplan(
+                    jnp.stack([k0] * k_pad), jnp.stack([v0] * k_pad)
+                ))
+                if k_pad >= self.max_batch:
+                    break
+                k_pad *= 2
 
         self._queue: "queue.Queue[_PlanRequest]" = queue.Queue()
         self._stop = threading.Event()
