@@ -1,5 +1,11 @@
 """Progressive distillation (Salimans & Ho, arXiv:2202.00512), discrete-time.
 
+MEASURED NEGATIVE (r5, RESULTS.md): at matched few-call budgets the
+PD student never beats the un-distilled teacher's DDIM grid on
+either task family (UMaze 0.36→ties/degrades; HalfCheetah -114 vs
+-47 at 10 calls). Kept as the documented ablation; the shipping
+few-call recipe is consistency distillation (models/consistency.py).
+
 Round 2 measured consistency distillation failing outright on HalfCheetah
 (CM 1-call -570 vs teacher +87.8; RESULTS.md "locomotion: distillation does
 NOT transfer") — the 1-call self-consistency map has to span the whole

@@ -14,4 +14,15 @@ SERVE="timeout 3600 python scripts/bench_serve.py --dataset $UD --env PointMaze_
 $SERVE --checkpoint "$PM" --sampling-timesteps 100
 $SERVE --checkpoint "$PM" --sampling-timesteps 100 --warm-start-t 40
 $SERVE --checkpoint "$CM" --sampler consistency --sampling-timesteps 1
+echo PHASE5_SERVE_DONE
+
+# Solver-sensitivity control for the on-device HC number: the r4 chain
+# script ran PGS while RESULTS said jacobi (ADVICE r4 #4) — measure both
+# on the same checkpoint/seed so the quoted number names its solver.
+HC="logs/npz_data_halfcheetah_mppi.npz+npz_data_halfcheetah_engine_r4b.npz/hc_r4b/checkpoint_step_52200.orbax"
+HCD="npz:data/halfcheetah_mppi.npz+npz:data/halfcheetah_engine_r4b.npz"
+timeout 3600 python scripts/eval_ondevice_locomotion.py --checkpoint "$HC" \
+  --dataset "$HCD" --env HalfCheetah-v5 --backend physics --solver pgs \
+  --batch 30 --n-replans 62 --action-horizon 16 --skip-conditioned-action \
+  --seed 42
 echo PHASE5_ALL_DONE
