@@ -25,12 +25,4 @@ timeout 3600 python scripts/eval_ondevice_locomotion.py --checkpoint "$HC" \
   --dataset "$HCD" --env HalfCheetah-v5 --backend physics --solver pgs \
   --batch 30 --n-replans 62 --action-horizon 16 --skip-conditioned-action \
   --seed 42
-# Retry of the Medium on-device artifact re-emission (its 60-min compile
-# timed out in phase 2's quick block); last in the queue so it only eats
-# leftover wall-clock.
-PMM=$(ls -d logs/npz_data_pointmaze_medium_expert400.npz/pm_med_r3/checkpoint_step_*.orbax | sort -t_ -k3 -n | tail -1)
-timeout 5400 python scripts/eval_ondevice.py --checkpoint "$PMM" \
-  --dataset npz:data/pointmaze_medium_expert400.npz --map medium \
-  --batch 128 --n-replans 38 --action-horizon 16 \
-  --projection --wall-aware --n-candidates 8 --wall-slack 0.03 --seed 42
 echo PHASE5_ALL_DONE
