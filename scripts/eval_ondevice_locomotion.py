@@ -50,9 +50,15 @@ def _check_chunk_bound(args):
         return
     with open(path) as f:
         bound = json.load(f)
-    rows = bound.get("distributions", {}).get("heldout", {}).get("rows", [])
-    quotable = [r["K"] for r in rows if r.get("quotable")]
-    k_star = max(quotable) if quotable else 0
+    rows = sorted(bound.get("distributions", {}).get("heldout", {})
+                  .get("rows", []), key=lambda r: r["K"])
+    # contiguous quotable prefix: an isolated quotable K above a failing
+    # one (small-n non-monotonicity in the tail) must not raise the bound
+    k_star = 0
+    for r in rows:
+        if not r.get("quotable"):
+            break
+        k_star = r["K"]
     if args.action_horizon > k_star:
         msg = (f"--action-horizon {args.action_horizon} exceeds the "
                f"measured K* = {k_star} for {args.env} at float32 "
