@@ -8,11 +8,15 @@
 set -x
 cd "$(dirname "$0")/.."
 
+# batch-envs 8 keeps the compiled search at N x B = 8192 candidate-env
+# lanes — the same program scale the r4 512x16 run compiled in minutes;
+# 1024x16 = 16384 lanes sat in the remote compiler for 40+ min (measured
+# r5) without returning. iterations 8 -> 25-episode checkpoints.
 timeout 10800 python scripts/collect_mppi_tpu.py --env HalfCheetah-v5 --backend physics \
   --seed-data npz:data/halfcheetah_mppi.npz \
-  --episodes 200 --batch-envs 16 --max-steps 600 \
+  --episodes 200 --batch-envs 8 --max-steps 600 \
   --horizon 12 --n-samples 1024 --n-exec 4 --physics-solver-iters 100 \
-  --explore-sigma 0.15 --iterations 4 --seed 13 \
+  --explore-sigma 0.15 --iterations 8 --seed 13 \
   --out data/halfcheetah_engine_r5p.npz
 echo PHASE6_COLLECT_DONE
 
